@@ -1,0 +1,122 @@
+"""Validated engine configuration.
+
+Re-expresses the reference's PropertyDescriptor surface (consumer: 18
+properties asserted at GetKinesisStreamTest.java:169-191; producer: 20
+at PutKinesisStreamTest.java:129-156) as a typed dataclass with the
+same style of per-field range validation (KinesisPropertyDescriptors.
+java:43-51) and cross-field validation (AbstractKinesisConsumer
+Processor.java:289-316).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+
+class ConfigError(ValueError):
+    """Raised when the engine configuration is invalid (≙ NiFi's
+    customValidate failures, ACP:289-316)."""
+
+
+#: Initial replay position for a fresh consumer — ≙ the reference's
+#: LATEST / TRIM_HORIZON allowable values (ACP:85-92, 509-517).
+INITIAL_POSITIONS = ("latest", "earliest")
+
+#: Merge write strategies. ``copy-on-write`` rewrites touched buckets
+#: per batch (read-optimized); at higher update rates a merge-on-read
+#: design would append delta files instead — documented trade-off.
+MERGE_STRATEGIES = ("copy-on-write",)
+
+
+@dataclass
+class EngineConfig:
+    """All knobs of the CDC pipeline, validated at build time.
+
+    Defaults mirror the reference's operating envelope (BASELINE.md):
+    e.g. ``max_files_per_trigger`` is the admission-control analogue of
+    BATCH_SIZE (KPD:43-51, default 250 records/trigger — ours is
+    file-granular because the source is a segment-file tail).
+    """
+
+    # --- source (≙ consumer properties, ACP:62-224) ---
+    binlog_dir: str = ""
+    initial_position: str = "earliest"  # ≙ TRIM_HORIZON/LATEST ACP:85-92
+    max_files_per_trigger: int = 8  # ≙ BATCH_SIZE KPD:43-51
+    n_shards: int = 8  # ≙ stream shard count
+    trigger_interval_ms: int = 1000  # ≙ idle-time-between-reads ACP:121-128
+    skip_empty_batches: bool = True  # ≙ ACP:133-140
+
+    # --- target table (≙ producer properties, APP:30-189) ---
+    table_path: str = ""
+    n_buckets: int = 32  # key-hash buckets ≙ shards on the put side
+    target_file_bytes: int = 128 * 1024 * 1024  # ≙ KPL aggregation APP:40-68
+    merge_strategy: str = "copy-on-write"
+    commit_retries: int = 4  # ≙ KCL/KPL retry policy ACP:181-188
+    commit_retry_backoff_ms: int = 500  # ≙ task backoff ACP:181-188
+
+    # --- skew handling (≙ random-key load spreading PUT:264-269) ---
+    salt_buckets: int = 8
+    hot_key_threshold: int = 1_000_000  # events/key/batch before salting
+
+    # --- routing / dead letter (≙ REL_FAILURE PUT:307-326) ---
+    dead_letter_path: str = ""
+    fail_on_dead_letter: bool = False  # ≙ fail-if-throttled APP:90-98
+
+    # --- exactly-once / checkpoint (≙ C1-C4, GET:281-296) ---
+    checkpoint_dir: str = ""
+    source_id: str = "binlog"
+
+    # --- metrics (≙ CloudWatch metrics props ACP:193-224) ---
+    metrics_enabled: bool = True
+    metrics_granularity: str = "shard"  # shard | stream | global APP:131-138
+
+    # --- misc ---
+    shuffle_partitions: int = 32
+    extra_spark_conf: dict = field(default_factory=dict)
+
+    def validate(self) -> "EngineConfig":
+        """Range + cross-field validation; returns self for chaining."""
+        if not self.binlog_dir:
+            raise ConfigError("binlog_dir is required")
+        if not self.table_path:
+            raise ConfigError("table_path is required")
+        if self.initial_position not in INITIAL_POSITIONS:
+            raise ConfigError(
+                f"initial_position must be one of {INITIAL_POSITIONS}, "
+                f"got {self.initial_position!r}"
+            )
+        if self.merge_strategy not in MERGE_STRATEGIES:
+            raise ConfigError(
+                f"merge_strategy must be one of {MERGE_STRATEGIES}"
+            )
+        if self.metrics_granularity not in ("shard", "stream", "global"):
+            raise ConfigError("metrics_granularity: shard|stream|global")
+        # range validation ≙ KPD:49 createLongValidator(1, 500, false)
+        for name, lo, hi in [
+            ("max_files_per_trigger", 1, 100_000),
+            ("n_shards", 1, 10_000),
+            ("n_buckets", 1, 1_000_000),
+            ("salt_buckets", 1, 65_536),
+            ("commit_retries", 0, 100),
+            ("shuffle_partitions", 1, 1_000_000),
+            ("trigger_interval_ms", 0, 86_400_000),
+        ]:
+            v = getattr(self, name)
+            if not (lo <= v <= hi):
+                raise ConfigError(f"{name} must be in [{lo}, {hi}], got {v}")
+        # cross-field: dead-letter routing needs a quarantine path,
+        # unless the pipeline is configured to fail the batch instead
+        # (≙ access-key/secret-key must be set together, ACP:292-298)
+        if not self.fail_on_dead_letter and not self.dead_letter_path:
+            raise ConfigError(
+                "dead_letter_path required when fail_on_dead_letter=False"
+            )
+        if not self.checkpoint_dir:
+            raise ConfigError("checkpoint_dir is required")
+        return self
+
+    @classmethod
+    def property_names(cls) -> list[str]:
+        """The full validated property surface (tested for exact count
+        the way the reference tests its descriptors, GT:169-191)."""
+        return [f.name for f in fields(cls)]

@@ -1,0 +1,415 @@
+"""TransactionalTable — a from-scratch snapshot/commit-log lake table.
+
+The target of the CDC pipeline. Iceberg-style semantics implemented
+directly on parquet + an atomic JSON commit log (no Iceberg jars exist
+in this environment; on a real cluster the merge pipeline would target
+Iceberg via the same interface — the semantics below are what
+`MERGE INTO ... WHEN MATCHED ...` provides there):
+
+* **Atomic commits**: a snapshot is one JSON manifest under ``_log/``;
+  committing is a single ``os.link`` (fails if the version exists —
+  optimistic concurrency). Readers only ever see a committed manifest.
+* **Bucketed layout**: data files are hash-bucketed by the merge key's
+  conversation id. A merge touches only the buckets its batch hits —
+  file-level pruning that scales with batch key-spread, not table size.
+* **LWW MERGE**: per (conv_id, turn_idx), max (ts, seq) wins; deletes
+  are LWW tombstones (kept internally, filtered from public reads) so
+  replaying events in ANY order converges to the same state — this is
+  what makes the pipeline exactly-once under at-least-once redelivery
+  (upgrading the reference's checkpoint-then-commit at-least-once,
+  GetKinesisStream.java:281-296).
+* **Exactly-once watermarks**: per-source high-water batch ids are
+  committed in the same manifest as the data, so "applied" and
+  "recorded as applied" are one atomic event (C1 in SURVEY.md §2.5).
+* **Schema evolution**: manifest schema is unioned-by-name with each
+  batch's schema; old files are read with the new schema (missing
+  columns → null) — the FlowFile schema-freedom analogue (GET:256-257).
+* **Lineage**: per-(batch, shard) lineage rows (≙ provenance receive
+  events GET:266-268 + millisBehindLatest GET:314-315) are parquet
+  files referenced by the same manifest — atomic with the data.
+
+Scale notes (100 TB / 1000 executors): bucket count is a table
+property sized so bucket ≈ a few GB; merges shuffle once on the bucket
+key with AQE skew splitting; unaffected buckets are never read or
+rewritten; manifests hold per-file stats only (O(files), not O(rows)).
+Copy-on-write favors read-heavy transcripts; a merge-on-read delta
+layout is the documented alternative for update-dominated streams.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nifi_processors_spark.schema import LINEAGE_SCHEMA, schema_union
+
+INTERNAL_COLS = ["_seq", "_deleted"]
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+class TransactionalTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._log_dir = os.path.join(path, "_log")
+
+    # ------------------------------------------------------------ DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        lww_cols: list[str] | None = None,
+        n_buckets: int = 32,
+    ) -> "TransactionalTable":
+        """Create an empty table (v0 manifest)."""
+        t = cls(spark, path)
+        os.makedirs(t._log_dir, exist_ok=True)
+        if t.current_version() is not None:
+            raise FileExistsError(f"table already exists at {path}")
+        manifest = {
+            "version": 0,
+            "schema": schema.json(),
+            "key_cols": key_cols,
+            "lww_cols": lww_cols or ["ts"],
+            "n_buckets": n_buckets,
+            "files": [],
+            "lineage_files": [],
+            "watermarks": {},
+            "parent": None,
+            "stats": {},
+        }
+        t._commit_manifest(manifest)
+        return t
+
+    @classmethod
+    def exists(cls, spark: SparkSession, path: str) -> bool:
+        t = cls(spark, path)
+        return t.current_version() is not None
+
+    # ------------------------------------------------------- manifests
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"v{version:012d}.json")
+
+    def current_version(self) -> int | None:
+        if not os.path.isdir(self._log_dir):
+            return None
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(self._log_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no table at {self.path}")
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """Atomic commit: write tmp, hard-link to the versioned name.
+        ``os.link`` raises EEXIST if another writer won the version —
+        the caller retries against the new state (optimistic CC)."""
+        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._manifest_path(manifest["version"]))
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version {manifest['version']} already committed"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    # --------------------------------------------------------- schema
+
+    def table_schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.manifest(version)["schema"]))
+
+    def _internal_schema(self, version: int | None = None) -> T.StructType:
+        s = self.table_schema(version)
+        return T.StructType(
+            list(s.fields)
+            + [
+                T.StructField("_seq", T.LongType(), True),
+                T.StructField("_deleted", T.BooleanType(), True),
+            ]
+        )
+
+    def watermark(self, source_id: str, version: int | None = None) -> int | None:
+        wm = self.manifest(version)["watermarks"].get(source_id)
+        return None if wm is None else int(wm)
+
+    # ----------------------------------------------------------- read
+
+    def read(
+        self,
+        version: int | None = None,
+        include_internal: bool = False,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Snapshot read (time travel via ``version``). Public shape
+        drops internal columns and tombstones."""
+        m = self.manifest(version)
+        schema = self._internal_schema(version)
+        paths = [os.path.join(self.path, f["path"]) for f in m["files"]]
+        if not paths:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            # explicit schema ⇒ old (pre-evolution) files yield nulls
+            # for later-added columns; passing leaf files disables
+            # partition-dir inference so no stray _bucket column.
+            df = self.spark.read.schema(schema).parquet(*paths)
+        if not include_deleted:
+            df = df.filter(~F.col("_deleted"))
+        if not include_internal:
+            df = df.drop(*INTERNAL_COLS)
+        return df
+
+    def read_lineage(self) -> DataFrame:
+        m = self.manifest()
+        paths = [os.path.join(self.path, p) for p in m.get("lineage_files", [])]
+        if not paths:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(*paths)
+
+    # ---------------------------------------------------------- merge
+
+    def _bucket_expr(self, n_buckets: int):
+        """Stable key→bucket hash. MUST never change for a live table
+        (old files were placed with it). xxhash64 is Spark-native and
+        JVM-evaluated (whole-stage codegen — no Python in this path)."""
+        return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+    def merge(
+        self,
+        batch_df: DataFrame,
+        source_id: str,
+        batch_id: int,
+        lineage_df: DataFrame | None = None,
+        extra_stats: dict | None = None,
+    ) -> dict:
+        """Apply one micro-batch of change events (op/conv_id/turn_idx/
+        payload/ts/seq) with LWW semantics. Idempotent per
+        (source_id, batch_id): a redelivered batch is skipped via the
+        committed watermark; a replayed-from-scratch stream converges
+        anyway because the merge itself is LWW-idempotent.
+        """
+        for attempt in range(5):
+            try:
+                return self._merge_once(
+                    batch_df, source_id, batch_id, lineage_df, extra_stats
+                )
+            except ConcurrentCommitError:
+                if attempt == 4:
+                    raise
+                time.sleep(0.05 * (2**attempt))
+        raise AssertionError("unreachable")
+
+    def _merge_once(self, batch_df, source_id, batch_id, lineage_df, extra_stats):
+        m = self.manifest()
+        wm = m["watermarks"].get(source_id)
+        if wm is not None and batch_id <= int(wm):
+            return {"skipped": True, "reason": "watermark", "batch_id": batch_id}
+
+        key_cols = m["key_cols"]
+        n_buckets = m["n_buckets"]
+        cur_schema = T.StructType.fromJson(json.loads(m["schema"]))
+
+        # --- schema evolution: union-by-name with the batch's payload
+        _non_payload = {"op", "seq", "shard", "arrival_ts", "arrival_idx",
+                        "_seq", "_deleted", "_bucket"}
+        batch_payload = T.StructType(
+            [f for f in batch_df.schema.fields if f.name not in _non_payload]
+        )
+        new_schema = schema_union(cur_schema, batch_payload)
+        payload_cols = [f.name for f in new_schema.fields]
+
+        # --- normalize batch → upsert rows (missing cols → null)
+        have = set(batch_df.columns)
+        proj = [
+            (F.col(c).cast(f.dataType) if c in have else F.lit(None).cast(f.dataType)).alias(c)
+            for c, f in zip(payload_cols, new_schema.fields)
+        ]
+        up = batch_df.select(
+            *proj,
+            F.col("seq").cast("long").alias("_seq"),
+            (F.col("op") == F.lit("D")).alias("_deleted"),
+        )
+
+        # --- intra-batch LWW dedup + merge with existing rows of the
+        # affected buckets, in ONE aggregation: union then max_by over
+        # (ts, _seq). Partial aggregation (map-side combine) keeps the
+        # shuffle small; AQE handles skewed conversations.
+        up = up.withColumn("_bucket", self._bucket_expr(n_buckets))
+        affected = sorted(
+            r["_bucket"] for r in up.select("_bucket").distinct().collect()
+        )
+        affected_set = set(affected)
+
+        old_files = m["files"]
+        touched = [f for f in old_files if f["bucket"] in affected_set]
+        kept = [f for f in old_files if f["bucket"] not in affected_set]
+
+        if touched:
+            internal = self._internal_schema()
+            existing = self.spark.read.schema(internal).parquet(
+                *[os.path.join(self.path, f["path"]) for f in touched]
+            )
+            # align to evolved schema (new columns → null)
+            eproj = [
+                (
+                    F.col(c).cast(f.dataType)
+                    if c in existing.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(c)
+                for c, f in zip(payload_cols, new_schema.fields)
+            ]
+            existing = existing.select(
+                *eproj, F.col("_seq"), F.col("_deleted")
+            ).withColumn("_bucket", self._bucket_expr(n_buckets))
+            unioned = up.unionByName(existing)
+        else:
+            unioned = up
+
+        non_key = [c for c in payload_cols if c not in key_cols] + INTERNAL_COLS
+        merged = unioned.groupBy("_bucket", *key_cols).agg(
+            F.expr(
+                "max_by(struct({cols}), struct(ts, _seq))".format(
+                    cols=", ".join(non_key)
+                )
+            ).alias("_w")
+        )
+        merged = merged.select(
+            "_bucket", *key_cols, *[F.col(f"_w.{c}").alias(c) for c in non_key]
+        ).select("_bucket", *payload_cols, *INTERNAL_COLS)
+
+        # --- write new files for the affected buckets
+        version = m["version"] + 1
+        commit_rel = os.path.join("data", f"commit-{version:012d}")
+        commit_dir = os.path.join(self.path, commit_rel)
+        (
+            merged.repartition(max(len(affected), 1), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("errorifexists")
+            .parquet(commit_dir)
+        )
+        new_files = []
+        for root, _dirs, files in os.walk(commit_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, fn), self.path)
+                    bucket = int(root.rsplit("_bucket=", 1)[1])
+                    new_files.append({"path": rel, "bucket": bucket})
+
+        # --- lineage files (atomic with the data commit)
+        lineage_files = list(m.get("lineage_files", []))
+        if lineage_df is not None:
+            lin_rel = os.path.join("lineage", f"commit-{version:012d}")
+            lineage_df.coalesce(1).write.mode("errorifexists").parquet(
+                os.path.join(self.path, lin_rel)
+            )
+            for root, _dirs, files in os.walk(os.path.join(self.path, lin_rel)):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        lineage_files.append(
+                            os.path.relpath(os.path.join(root, fn), self.path)
+                        )
+
+        watermarks = dict(m["watermarks"])
+        watermarks[source_id] = batch_id
+        stats = {
+            "buckets_touched": len(affected),
+            "files_rewritten": len(touched),
+            "files_added": len(new_files),
+            **(extra_stats or {}),
+        }
+        manifest = {
+            "version": version,
+            "schema": new_schema.json(),
+            "key_cols": key_cols,
+            "lww_cols": m["lww_cols"],
+            "n_buckets": n_buckets,
+            "files": kept + new_files,
+            "lineage_files": lineage_files,
+            "watermarks": watermarks,
+            "parent": m["version"],
+            "stats": stats,
+        }
+        try:
+            self._commit_manifest(manifest)
+        except ConcurrentCommitError:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+        return {"skipped": False, "version": version, **stats}
+
+    # --------------------------------------------------------- append
+
+    def append(self, df: DataFrame, source_id: str | None = None, batch_id: int | None = None) -> dict:
+        """Append-only commit (dead-letter / metrics tables). Optional
+        (source_id, batch_id) watermark makes re-appends of a
+        redelivered micro-batch no-ops."""
+        for attempt in range(5):
+            m = self.manifest()
+            if source_id is not None and batch_id is not None:
+                wm = m["watermarks"].get(source_id)
+                if wm is not None and batch_id <= int(wm):
+                    return {"skipped": True, "reason": "watermark"}
+            version = m["version"] + 1
+            cur_schema = T.StructType.fromJson(json.loads(m["schema"]))
+            new_schema = schema_union(cur_schema, df.schema)
+            proj = [
+                (F.col(f.name).cast(f.dataType) if f.name in df.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in new_schema.fields
+            ]
+            out = df.select(
+                *proj,
+                F.lit(None).cast("long").alias("_seq"),
+                F.lit(False).alias("_deleted"),
+            )
+            commit_rel = os.path.join("data", f"commit-{version:012d}", "_bucket=-1")
+            out.write.mode("errorifexists").parquet(os.path.join(self.path, commit_rel))
+            new_files = [
+                {"path": os.path.join(commit_rel, fn), "bucket": -1}
+                for fn in os.listdir(os.path.join(self.path, commit_rel))
+                if fn.endswith(".parquet")
+            ]
+            watermarks = dict(m["watermarks"])
+            if source_id is not None and batch_id is not None:
+                watermarks[source_id] = batch_id
+            manifest = {
+                **m,
+                "version": version,
+                "schema": new_schema.json(),
+                "files": m["files"] + new_files,
+                "watermarks": watermarks,
+                "parent": m["version"],
+            }
+            try:
+                self._commit_manifest(manifest)
+                return {"skipped": False, "version": version, "files_added": len(new_files)}
+            except ConcurrentCommitError:
+                if attempt == 4:
+                    raise
+                time.sleep(0.05 * (2**attempt))
+        raise AssertionError("unreachable")
