@@ -208,6 +208,7 @@ class TransactionalTable:
         batch_id: int,
         lineage_df: DataFrame | None = None,
         extra_stats: dict | None = None,
+        broadcast_threshold: int = 2_000_000,
     ) -> dict:
         """Apply one micro-batch of change events (op/conv_id/turn_idx/
         payload/ts/seq) with LWW semantics. Idempotent per
@@ -218,7 +219,8 @@ class TransactionalTable:
         for attempt in range(5):
             try:
                 return self._merge_once(
-                    batch_df, source_id, batch_id, lineage_df, extra_stats
+                    batch_df, source_id, batch_id, lineage_df, extra_stats,
+                    broadcast_threshold,
                 )
             except ConcurrentCommitError:
                 if attempt == 4:
@@ -226,7 +228,10 @@ class TransactionalTable:
                 time.sleep(0.05 * (2**attempt))
         raise AssertionError("unreachable")
 
-    def _merge_once(self, batch_df, source_id, batch_id, lineage_df, extra_stats):
+    def _merge_once(
+        self, batch_df, source_id, batch_id, lineage_df, extra_stats,
+        broadcast_threshold=2_000_000,
+    ):
         m = self.manifest()
         wm = m["watermarks"].get(source_id)
         if wm is not None and batch_id <= int(wm):
@@ -257,63 +262,135 @@ class TransactionalTable:
             (F.col("op") == F.lit("D")).alias("_deleted"),
         )
 
-        # --- intra-batch LWW dedup + merge with existing rows of the
-        # affected buckets, in ONE aggregation: union then max_by over
-        # (ts, _seq). Partial aggregation (map-side combine) keeps the
-        # shuffle small; AQE handles skewed conversations.
-        up = up.withColumn("_bucket", self._bucket_expr(n_buckets))
-        affected = sorted(
-            r["_bucket"] for r in up.select("_bucket").distinct().collect()
-        )
-        affected_set = set(affected)
-
-        old_files = m["files"]
-        touched = [f for f in old_files if f["bucket"] in affected_set]
-        kept = [f for f in old_files if f["bucket"] not in affected_set]
-
-        if touched:
-            internal = self._internal_schema()
-            existing = self.spark.read.schema(internal).parquet(
-                *[os.path.join(self.path, f["path"]) for f in touched]
-            )
-            # align to evolved schema (new columns → null)
-            eproj = [
-                (
-                    F.col(c).cast(f.dataType)
-                    if c in existing.columns
-                    else F.lit(None).cast(f.dataType)
-                ).alias(c)
-                for c, f in zip(payload_cols, new_schema.fields)
-            ]
-            existing = existing.select(
-                *eproj, F.col("_seq"), F.col("_deleted")
-            ).withColumn("_bucket", self._bucket_expr(n_buckets))
-            unioned = up.unionByName(existing)
-        else:
-            unioned = up
-
+        # --- intra-batch LWW dedup: one winner per key by (ts, _seq).
+        # max_by aggregation (partial/map-side combine) rather than a
+        # row_number window — no per-partition sort, skew-tolerant.
         non_key = [c for c in payload_cols if c not in key_cols] + INTERNAL_COLS
-        merged = unioned.groupBy("_bucket", *key_cols).agg(
-            F.expr(
-                "max_by(struct({cols}), struct(ts, _seq))".format(
-                    cols=", ".join(non_key)
-                )
-            ).alias("_w")
+        up = up.withColumn("_bucket", self._bucket_expr(n_buckets))
+        up_d = (
+            up.groupBy("_bucket", *key_cols)
+            .agg(
+                F.expr(
+                    "max_by(struct({cols}), struct(ts, _seq))".format(
+                        cols=", ".join(non_key)
+                    )
+                ).alias("_w")
+            )
+            .select(
+                "_bucket", *key_cols, *[F.col(f"_w.{c}").alias(c) for c in non_key]
+            )
         )
-        merged = merged.select(
-            "_bucket", *key_cols, *[F.col(f"_w.{c}").alias(c) for c in non_key]
-        ).select("_bucket", *payload_cols, *INTERNAL_COLS)
+        up_d.persist()
+        try:
+            n_batch = up_d.count()
+            affected = sorted(
+                r["_bucket"] for r in up_d.select("_bucket").distinct().collect()
+            )
+            affected_set = set(affected)
 
-        # --- write new files for the affected buckets
-        version = m["version"] + 1
-        commit_rel = os.path.join("data", f"commit-{version:012d}")
-        commit_dir = os.path.join(self.path, commit_rel)
-        (
-            merged.repartition(max(len(affected), 1), "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("errorifexists")
-            .parquet(commit_dir)
-        )
+            old_files = m["files"]
+            touched = [f for f in old_files if f["bucket"] in affected_set]
+            kept = [f for f in old_files if f["bucket"] not in affected_set]
+
+            existing = None
+            if touched:
+                internal = self._internal_schema()
+                existing = self.spark.read.schema(internal).parquet(
+                    *[os.path.join(self.path, f["path"]) for f in touched]
+                )
+                # align to evolved schema (new columns → null)
+                eproj = [
+                    (
+                        F.col(c).cast(f.dataType)
+                        if c in existing.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(c)
+                    for c, f in zip(payload_cols, new_schema.fields)
+                ]
+                existing = existing.select(
+                    *eproj, F.col("_seq"), F.col("_deleted")
+                ).withColumn("_bucket", self._bucket_expr(n_buckets))
+
+            version = m["version"] + 1
+            commit_rel = os.path.join("data", f"commit-{version:012d}")
+            commit_dir = os.path.join(self.path, commit_rel)
+            out_cols = ["_bucket", *payload_cols, *INTERNAL_COLS]
+
+            if existing is not None and n_batch <= broadcast_threshold:
+                # --- small-batch path (the steady-state CDC case):
+                # broadcast the deduped batch against the affected
+                # buckets — the big side is scanned in place, NEVER
+                # shuffled. Updated/unchanged rows are written back
+                # preserving scan partitioning (copy-on-write, no
+                # exchange in the plan); inserts are the small side.
+                merge_path = "broadcast-cow"
+                e, b = existing.alias("e"), F.broadcast(up_d.alias("b"))
+                on = [F.col(f"e.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
+                bwins = (F.col("b.ts") > F.col("e.ts")) | (
+                    (F.col("b.ts") == F.col("e.ts"))
+                    & (F.col("b._seq") >= F.col("e._seq"))
+                )
+                cow = e.join(b, on, "left").select(
+                    F.col("e._bucket").alias("_bucket"),
+                    *[F.col(f"e.{k}").alias(k) for k in key_cols],
+                    *[
+                        F.when(bwins, F.col(f"b.{c}"))
+                        .otherwise(F.col(f"e.{c}"))
+                        .alias(c)
+                        for c in non_key
+                    ],
+                ).select(*out_cols)
+                cow.write.partitionBy("_bucket").mode("errorifexists").parquet(
+                    os.path.join(commit_dir, "cow")
+                )
+                matched_keys = (
+                    existing.join(
+                        F.broadcast(up_d.select(*key_cols)), key_cols, "left_semi"
+                    )
+                    .select(*key_cols)
+                    .distinct()
+                )
+                inserts = up_d.join(
+                    F.broadcast(matched_keys), key_cols, "left_anti"
+                ).select(*out_cols)
+                inserts.write.partitionBy("_bucket").mode("errorifexists").parquet(
+                    os.path.join(commit_dir, "ins")
+                )
+            else:
+                # --- big-batch path (backfill / bulk replay): union the
+                # deduped batch with the affected buckets and take the
+                # LWW winner per key in one shuffle. AQE coalesces and
+                # splits skewed partitions at runtime.
+                merge_path = "union-agg"
+                unioned = (
+                    up_d.select(*out_cols).unionByName(existing.select(*out_cols))
+                    if existing is not None
+                    else up_d.select(*out_cols)
+                )
+                merged = (
+                    unioned.groupBy("_bucket", *key_cols)
+                    .agg(
+                        F.expr(
+                            "max_by(struct({cols}), struct(ts, _seq))".format(
+                                cols=", ".join(non_key)
+                            )
+                        ).alias("_w")
+                    )
+                    .select(
+                        "_bucket",
+                        *key_cols,
+                        *[F.col(f"_w.{c}").alias(c) for c in non_key],
+                    )
+                    .select(*out_cols)
+                )
+                (
+                    merged.repartition(max(len(affected), 1), "_bucket")
+                    .write.partitionBy("_bucket")
+                    .mode("errorifexists")
+                    .parquet(commit_dir)
+                )
+        finally:
+            up_d.unpersist()
         new_files = []
         for root, _dirs, files in os.walk(commit_dir):
             for fn in files:
@@ -339,6 +416,8 @@ class TransactionalTable:
         watermarks = dict(m["watermarks"])
         watermarks[source_id] = batch_id
         stats = {
+            "merge_path": merge_path,
+            "n_upserts": n_batch,
             "buckets_touched": len(affected),
             "files_rewritten": len(touched),
             "files_added": len(new_files),
