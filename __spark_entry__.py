@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2
+plus the training-data-pipeline operators (dedup family, similarity
+search, text analysis); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for each. Spark-side and oracle-side are rendered from shared
+two-dialect templates (nifi_processors_spark/plans/) so semantics
+cannot drift; all float outputs are rounded and timestamps exported as
+epoch micros so the driver's value-hash is stable across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nifi_processors_spark.plans import cdc_queries, sql_queries  # noqa: E402
+
+_ALL = {}
+_ALL.update(cdc_queries.QUERIES)
+_ALL.update(sql_queries.QUERIES)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay through the merge engine on sf0.001 —
+    derive a change-event stream, apply it in incremental batches via
+    the transactional LWW MERGE, return the final table state."""
+    return cdc_queries.cdc_merge_full_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator (SURVEY.md §2 / build brief).
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Aliasing rule: every computed column is aliased identically in the
+    Spark plan and the oracle SQL.
     """
-    return {}
+    return {name: fn for name, (fn, _oracle) in _ALL.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (tables pre-registered as views)."""
+    return {name: oracle for name, (_fn, oracle) in _ALL.items() if oracle}

@@ -78,13 +78,11 @@ def enrich_attributes(df: DataFrame, batch_start_ts=None) -> DataFrame:
         df.withColumn("batch_start_ts", start)
         .withColumn(
             "millis_behind",
-            (
-                (
-                    F.col("batch_start_ts").cast("double")
-                    - F.col("arrival_ts").cast("double")
-                )
-                * 1000
-            ).cast("long"),
+            # integer µs arithmetic (exact; a double path can be off by
+            # 1 ms at truncation boundaries)
+            F.expr(
+                "(unix_micros(batch_start_ts) - unix_micros(arrival_ts)) div 1000"
+            ),
         )
         .withColumn("record_number", F.row_number().over(w) - 1)
     )

@@ -1,0 +1,278 @@
+"""CDC-semantics queries over the driver's ``events`` table.
+
+The driver's parquet tables don't include a change-event stream, so a
+deterministic one is DERIVED from ``events`` with pure arithmetic that
+both Spark and DuckDB evaluate identically (the two-dialect template
+below). Each query then exercises a real engine operator (SURVEY.md §2
+numbers cited per query) and has a DuckDB oracle.
+
+All timestamps leave the queries as epoch microseconds (``ts_us``) and
+all float aggregates are rounded, so the driver's order-insensitive
+value-hash is stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nifi_processors_spark.functions.attributes import (
+    enrich_attributes,
+    with_error_reason,
+)
+from nifi_processors_spark.operators.dedup import dedup_exact, lww_dedup
+from nifi_processors_spark.plans.catalog import load_tables, render
+
+#: change-event stream derived from `events` — ≙ FIXTURES.md §2, with
+#: op mix ~60/30/10 I/U/D, key-stable shards, per-shard monotone seq
+#: (event_id is globally monotone ⇒ monotone within each shard).
+CDC_BASE_TPL = """
+SELECT
+  CASE WHEN event_id % 10 <= 5 THEN 'I'
+       WHEN event_id % 10 <= 8 THEN 'U'
+       ELSE 'D' END AS op,
+  'conv-' || lpad(cast(user_id % 120 AS @STR@), 6, '0') AS conv_id,
+  cast(event_id % 16 AS int) AS turn_idx,
+  CASE WHEN event_id % 4 = 0 THEN 'user'
+       WHEN event_id % 4 = 1 THEN 'assistant'
+       WHEN event_id % 4 = 2 THEN 'tool'
+       ELSE 'system' END AS role,
+  'msg-' || event_id || '-' || event_type AS text,
+  CASE WHEN event_id % 3 = 0 THEN 'search'
+       WHEN event_id % 7 = 0 THEN 'browser'
+       ELSE NULL END AS tool,
+  ts,
+  event_id AS seq,
+  cast(user_id % 8 AS int) AS shard,
+  ts AS arrival_ts
+FROM events
+"""
+
+#: the LWW final state of the derived stream (the oracle for both the
+#: operator-level dedup and the full merge-engine replay)
+_FINAL_STATE_ORACLE = f"""
+WITH ce AS ({render(CDC_BASE_TPL, 'duckdb')}),
+w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, seq DESC) AS rn
+  FROM ce
+)
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def _ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["events"])
+    return spark.sql(render(CDC_BASE_TPL, "spark"))
+
+
+def _final_projection(df: DataFrame) -> DataFrame:
+    return df.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+# --------------------------------------------------------------- queries
+
+def cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator §2.6: LWW dedup window — the final table state is, per
+    (conv_id, turn_idx), the max-(ts, seq) event; delete winners drop."""
+    winners = lww_dedup(_ce(spark, sf_dir))
+    return _final_projection(winners.filter(F.col("op") != "D"))
+
+
+def cdc_merge_full_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator §2.7 (MERGE INTO): full replay of the derived stream
+    through the ACTUAL merge engine — TransactionalTable, 4 incremental
+    batches — then read the final committed snapshot. The oracle is the
+    same LWW SQL, so this correctness-gates the whole merge path."""
+    from nifi_processors_spark.schema import KEY_COLS, LWW_COLS, TRANSCRIPTS_SCHEMA
+    from nifi_processors_spark.table import TransactionalTable
+
+    ce = _ce(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="nps-merge-replay-"), "t")
+    table = TransactionalTable.create(
+        spark, path, TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS, n_buckets=16
+    )
+    for i in range(4):
+        table.merge(ce.filter(F.pmod(F.col("seq"), F.lit(4)) == i), "replay", i)
+    return _final_projection(table.read())
+
+
+def cdc_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators §2.4 R1-R3: success/failure routing. Malformations are
+    induced deterministically, then the vectorized validator splits the
+    stream; output is the per-relationship count."""
+    ce = _ce(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("seq") % 53 == 0, F.lit(None)).otherwise(F.col("text")),
+    ).withColumn(
+        "op", F.when(F.col("seq") % 97 == 0, F.lit("X")).otherwise(F.col("op"))
+    )
+    tagged = with_error_reason(ce)
+    return (
+        tagged.groupBy(F.coalesce("error_reason", F.lit("valid")).alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+CDC_VALIDATE_ORACLE = f"""
+WITH ce AS ({render(CDC_BASE_TPL, 'duckdb')}),
+m AS (
+  SELECT CASE WHEN seq % 97 = 0 THEN 'X' ELSE op END AS op,
+         CASE WHEN seq % 53 = 0 THEN NULL ELSE text END AS text
+  FROM ce
+),
+t AS (
+  SELECT CASE
+    WHEN op IS NULL THEN 'null_op'
+    WHEN op NOT IN ('I','U','D') THEN 'bad_op'
+    WHEN op <> 'D' AND text IS NULL THEN 'null_text'
+    ELSE 'valid' END AS reason
+  FROM m
+)
+SELECT reason, count(*) AS n FROM t GROUP BY reason
+"""
+
+
+def cdc_lineage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 metrics/lineage: per-shard event counts, seq ranges,
+    distinct conversations, and max consumer lag (millisBehindLatest,
+    GET:314-315) vs the stream high-water timestamp."""
+    ce = _ce(spark, sf_dir)
+    hw = ce.agg(F.max("ts")).collect()[0][0]
+    # high-water truncated to whole seconds, as integer µs (exact;
+    # timegm treats the naive datetime as UTC regardless of host TZ)
+    import calendar
+
+    hw_us = calendar.timegm(hw.timetuple()) * 1_000_000
+    return ce.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.expr(
+            f"({hw_us}L - unix_micros(min(arrival_ts))) div 1000"
+        ).alias("max_lag_ms"),
+    )
+
+
+CDC_LINEAGE_ORACLE = f"""
+WITH ce AS ({render(CDC_BASE_TPL, 'duckdb')})
+SELECT shard,
+       count(*) AS n_events,
+       min(seq) AS first_seq,
+       max(seq) AS last_seq,
+       count(DISTINCT conv_id) AS n_convs,
+       ((SELECT epoch_us(date_trunc('second', max(ts))) FROM ce)
+        - epoch_us(min(arrival_ts))) // 1000 AS max_lag_ms
+FROM ce GROUP BY shard
+"""
+
+
+def cdc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 exact dedup of at-least-once redelivery: a deterministic
+    20% of events are delivered twice; dedup on the stream coordinate
+    (shard, seq) restores effectively-once counts."""
+    ce = _ce(spark, sf_dir)
+    delivered = ce.unionAll(ce.filter(F.col("seq") % 5 == 0))
+    uniq = dedup_exact(delivered)  # (shard, seq) identity
+    a = delivered.groupBy("shard").agg(F.count(F.lit(1)).alias("n_delivered"))
+    b = uniq.groupBy("shard").agg(F.count(F.lit(1)).alias("n_unique"))
+    return a.join(b, "shard")
+
+
+CDC_DEDUP_ORACLE = f"""
+WITH ce AS ({render(CDC_BASE_TPL, 'duckdb')}),
+d AS (SELECT * FROM ce UNION ALL SELECT * FROM ce WHERE seq % 5 = 0)
+SELECT shard, count(*) AS n_delivered, count(DISTINCT seq) AS n_unique
+FROM d GROUP BY shard
+"""
+
+
+def cdc_hot_key_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 K2 skew detection: hottest conversations by event count
+    (what the salting policy keys off). Deterministic tie-break."""
+    ce = _ce(spark, sf_dir)
+    return (
+        ce.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("conv_id"))
+        .limit(10)
+    )
+
+
+CDC_HOT_KEY_ORACLE = f"""
+WITH ce AS ({render(CDC_BASE_TPL, 'duckdb')})
+SELECT conv_id, count(*) AS n FROM ce GROUP BY conv_id
+ORDER BY n DESC, conv_id ASC LIMIT 10
+"""
+
+#: §2.2 K2 salting: distribution of the salted shuffle key (md5-based
+#: so the oracle can reproduce it; the engine-internal salt uses
+#: xxhash64 which stays Spark-side).
+CDC_SALT_TPL = """
+WITH ce AS ({base}),
+s AS (SELECT @MD5INT(cast(seq AS @STR@))@ % 16 AS salt FROM ce)
+SELECT salt, count(*) AS n FROM s GROUP BY salt
+"""
+
+
+def cdc_salt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["events"])
+    return spark.sql(
+        render(CDC_SALT_TPL, "spark").format(base=render(CDC_BASE_TPL, "spark"))
+    )
+
+
+CDC_SALT_ORACLE = render(CDC_SALT_TPL, "duckdb").format(
+    base=render(CDC_BASE_TPL, "duckdb")
+)
+
+
+def cdc_enrich_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 T1 attribute enrichment: the reference's per-record
+    metadata (record number within shard, millis-behind) as vectorized
+    columns — aggregated per shard for a compact, deterministic check."""
+    ce = _ce(spark, sf_dir)
+    enriched = enrich_attributes(ce, batch_start_ts="2024-02-01 00:00:00")
+    return enriched.groupBy("shard").agg(
+        F.max("record_number").alias("max_record_number"),
+        F.min("millis_behind").alias("min_lag_ms"),
+        F.max("millis_behind").alias("max_lag_ms"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+CDC_ENRICH_ORACLE = f"""
+WITH ce AS ({render(CDC_BASE_TPL, 'duckdb')}),
+e AS (
+  SELECT shard,
+         row_number() OVER (PARTITION BY shard ORDER BY seq) - 1 AS record_number,
+         (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(arrival_ts)) // 1000
+           AS millis_behind
+  FROM ce
+)
+SELECT shard, max(record_number) AS max_record_number,
+       min(millis_behind) AS min_lag_ms, max(millis_behind) AS max_lag_ms,
+       count(*) AS n
+FROM e GROUP BY shard
+"""
+
+#: name → (spark_fn, oracle_sql) registry for this module
+QUERIES = {
+    "cdc_lww_replay": (cdc_lww_replay, _FINAL_STATE_ORACLE),
+    "cdc_merge_full_replay": (cdc_merge_full_replay, _FINAL_STATE_ORACLE),
+    "cdc_validate_route": (cdc_validate_route, CDC_VALIDATE_ORACLE),
+    "cdc_lineage_stats": (cdc_lineage_stats, CDC_LINEAGE_ORACLE),
+    "cdc_dedup_exact": (cdc_dedup_exact, CDC_DEDUP_ORACLE),
+    "cdc_hot_key_topn": (cdc_hot_key_topn, CDC_HOT_KEY_ORACLE),
+    "cdc_salt_distribution": (cdc_salt_distribution, CDC_SALT_ORACLE),
+    "cdc_enrich_attributes": (cdc_enrich_attributes, CDC_ENRICH_ORACLE),
+}
