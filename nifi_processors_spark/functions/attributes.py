@@ -35,12 +35,23 @@ def _rules():
     ]
 
 
+_RULE_COLS = {
+    "null_op": ["op"], "bad_op": ["op"], "null_conv_id": ["conv_id"],
+    "null_turn_idx": ["turn_idx"], "negative_turn_idx": ["turn_idx"],
+    "null_ts": ["ts"], "null_seq": ["seq"], "null_text": ["op", "text"],
+}
+
+
 def with_error_reason(df: DataFrame) -> DataFrame:
     """Adds ``error_reason`` (null = valid). Pure column expressions —
-    whole-stage-codegen'd, no Python."""
+    whole-stage-codegen'd, no Python. Rules referencing columns the
+    frame doesn't carry are skipped (producer-side frames have no
+    seq/shard yet — the writer assigns them)."""
+    have = set(df.columns)
     reason = F.lit(None).cast("string")
     for name, cond in reversed(_rules()):
-        reason = F.when(cond, F.lit(name)).otherwise(reason)
+        if set(_RULE_COLS[name]) <= have:
+            reason = F.when(cond, F.lit(name)).otherwise(reason)
     return df.withColumn("error_reason", reason)
 
 

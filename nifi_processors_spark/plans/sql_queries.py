@@ -213,18 +213,23 @@ WITH corpus AS ({corpus}),
 toks AS (
   SELECT doc_id, @SPLITSP(text)@ AS w FROM corpus
 ),
-sh AS (
+shl AS (
   SELECT doc_id, @SHINGLES3(w)@ AS sh FROM toks WHERE @LEN(w)@ >= 3
+),
+e AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, @EXPLODE(sh)@ AS s FROM shl) t
 ),
 sig AS (
   SELECT doc_id,
-         @AMIN(@XF(sh; s -> @MD5INT('h0|' || s)@)@)@ AS m0,
-         @AMIN(@XF(sh; s -> @MD5INT('h1|' || s)@)@)@ AS m1,
-         @AMIN(@XF(sh; s -> @MD5INT('h2|' || s)@)@)@ AS m2,
-         @AMIN(@XF(sh; s -> @MD5INT('h3|' || s)@)@)@ AS m3,
-         @AMIN(@XF(sh; s -> @MD5INT('h4|' || s)@)@)@ AS m4,
-         @AMIN(@XF(sh; s -> @MD5INT('h5|' || s)@)@)@ AS m5
-  FROM sh
+         min(@MD5INT('h0|' || s)@) AS m0,
+         min(@MD5INT('h1|' || s)@) AS m1,
+         min(@MD5INT('h2|' || s)@) AS m2,
+         min(@MD5INT('h3|' || s)@) AS m3,
+         min(@MD5INT('h4|' || s)@) AS m4,
+         min(@MD5INT('h5|' || s)@) AS m5,
+         count(*) AS n
+  FROM e GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, 'b0|' || m0 || '_' || m1 AS bk FROM sig
@@ -237,11 +242,6 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
 ),
-e AS (
-  SELECT DISTINCT doc_id, s
-  FROM (SELECT doc_id, @EXPLODE(sh)@ AS s FROM sh) t
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ni
   FROM cand c
@@ -252,8 +252,8 @@ inter AS (
 SELECT i.doc_a, i.doc_b,
        round(cast(i.ni AS double) / (sa.n + sb.n - i.ni), 4) AS jaccard
 FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
+JOIN sig sa ON sa.doc_id = i.doc_a
+JOIN sig sb ON sb.doc_id = i.doc_b
 WHERE cast(i.ni AS double) / (sa.n + sb.n - i.ni) >= 0.5
 """
 

@@ -68,70 +68,87 @@ class CdcPipeline:
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
         """The foreachBatch body. Idempotent per (source_id, batch_id)."""
         cfg = self.config
-        if cfg.skip_empty_batches and batch_df.isEmpty():
+        if cfg.skip_empty_batches and not batch_df.inputFiles() and batch_df.isEmpty():
             # ≙ withCallProcessRecordsEvenForEmptyRecordList(false)
-            # inverted default (ACP:133-140, GET:164)
+            # inverted default (ACP:133-140, GET:164). File-backed
+            # batches skip the check — availableNow never emits them.
             self.last_batch_stats = {"skipped": True, "reason": "empty"}
             return self.last_batch_stats
-        valid, invalid = validate_events(batch_df)
 
-        # dead-letter routing (failure relationship). Append is
-        # watermarked per batch so redelivery after a crash between the
-        # DLQ commit and the main commit doesn't duplicate rows.
+        from nifi_processors_spark.functions.attributes import with_error_reason
+        from nifi_processors_spark.schema import LINEAGE_SCHEMA
+
+        tagged = with_error_reason(batch_df)
+        valid = tagged.filter(F.col("error_reason").isNull()).drop("error_reason")
+
+        # ONE small aggregation job computes routing counts AND the
+        # per-shard lineage/metrics (the reference accumulated these in
+        # its per-record loop, GET:245-267,307-322) — no per-concern
+        # scans. Result is a handful of rows collected to the driver.
+        lineage_df = None
         n_dlq = 0
-        if self.dead_letter is not None:
-            invalid = invalid.withColumn("batch_id", F.lit(batch_id))
-            n_dlq = invalid.count()
-            if n_dlq:
-                self.dead_letter.append(
-                    invalid, source_id=f"{cfg.source_id}::dlq", batch_id=batch_id
+        if cfg.metrics_enabled or cfg.fail_on_dead_letter or self.dead_letter is not None:
+            gran = (
+                F.col("shard")
+                if cfg.metrics_granularity == "shard"
+                else F.lit(None).cast("int")
+            )
+            ok = F.col("error_reason").isNull()
+            mrows = (
+                tagged.groupBy(gran.alias("shard"))
+                .agg(
+                    F.sum((~ok).cast("long")).alias("n_invalid"),
+                    F.sum(ok.cast("long")).alias("n_events"),
+                    F.min(F.when(ok, F.col("seq"))).alias("first_seq"),
+                    F.max(F.when(ok, F.col("seq"))).alias("last_seq"),
+                    F.max(
+                        F.when(
+                            ok,
+                            F.unix_millis(F.current_timestamp())
+                            - F.unix_millis(F.col("arrival_ts")),
+                        )
+                    ).alias("max_lag_ms"),
                 )
-        elif cfg.fail_on_dead_letter:
-            n_dlq = invalid.count()
-            if n_dlq:
+                .collect()
+            )
+            n_dlq = int(sum(r["n_invalid"] or 0 for r in mrows))
+            if n_dlq and cfg.fail_on_dead_letter:
                 # whole-batch failure → Structured Streaming retries the
-                # micro-batch (≙ catch-all route-all-to-failure + yield,
-                # PUT:329-333)
+                # micro-batch (≙ route-all-to-failure + yield, PUT:329-333)
                 raise ValueError(f"{n_dlq} invalid events in batch {batch_id}")
-
-        # per-shard lineage/metrics (≙ provenance + millisBehindLatest),
-        # committed atomically with the merge below
-        gran = (
-            [F.col("shard")]
-            if cfg.metrics_granularity == "shard"
-            else [F.lit(None).cast("int").alias("shard")]
-        )
-        lineage = (
-            valid.groupBy(*gran)
-            .agg(
-                F.min("seq").alias("first_seq"),
-                F.max("seq").alias("last_seq"),
-                F.count(F.lit(1)).alias("n_events"),
-                F.max(
-                    (F.unix_millis(F.current_timestamp()) -
-                     F.unix_millis(F.col("arrival_ts")))
-                ).alias("max_lag_ms"),
-            )
-            .select(
-                F.lit(cfg.source_id).alias("source_id"),
-                F.lit(batch_id).cast("long").alias("batch_id"),
-                F.col("shard").cast("int"),
-                "first_seq",
-                "last_seq",
-                "n_events",
-                F.lit(n_dlq).cast("long").alias("n_dead_letter"),
-                "max_lag_ms",
-            )
-        ) if cfg.metrics_enabled else None
+            if cfg.metrics_enabled:
+                lineage_df = self.spark.createDataFrame(
+                    [
+                        (
+                            cfg.source_id, int(batch_id),
+                            r["shard"], r["first_seq"], r["last_seq"],
+                            r["n_events"], int(r["n_invalid"] or 0),
+                            r["max_lag_ms"],
+                        )
+                        for r in mrows
+                    ],
+                    LINEAGE_SCHEMA,
+                )
 
         stats = self.table.merge(
             valid,
             source_id=cfg.source_id,
             batch_id=batch_id,
-            lineage_df=lineage,
-            extra_stats={"n_dead_letter": n_dlq},
+            lineage_df=lineage_df,
             broadcast_threshold=cfg.merge_broadcast_threshold,
         )
+
+        # dead-letter routing (failure relationship): append only when
+        # the metrics pass saw invalid rows; watermarked so redelivery
+        # duplicates nothing.
+        if n_dlq and self.dead_letter is not None and not stats.get("skipped"):
+            invalid = tagged.filter(F.col("error_reason").isNotNull()).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            self.dead_letter.append(
+                invalid, source_id=f"{cfg.source_id}::dlq", batch_id=batch_id
+            )
+        stats = {**stats, "n_dead_letter": n_dlq}
         self.last_batch_stats = stats
         return stats
 

@@ -91,11 +91,19 @@ def _payload_text(conv: np.ndarray, turn: np.ndarray, ver: np.ndarray, n_words: 
         np.char.add("-v", ver.astype("U6")),
     )
     mix = (conv * 2654435761 + turn * 40503 + ver * 97) & 0x7FFFFFFF
-    out = base
-    for i in range(n_words):
-        idx = (mix + i * 131) % len(_WORDS)
-        out = np.char.add(np.char.add(out, " "), _WORDS[idx])
-    return out
+    # filler drawn from a small precomputed pool (deterministic in the
+    # mix) — one indexed gather instead of n_words char-adds over the
+    # whole column, which dominates generation time at 10^7 events
+    pool_n = 4096
+    pool = np.array(
+        [
+            " " + " ".join(
+                _WORDS[(p + i * 131) % len(_WORDS)] for i in range(n_words)
+            )
+            for p in range(pool_n)
+        ]
+    )
+    return np.char.add(base, pool[mix % pool_n])
 
 
 def generate_events(spec: SynthSpec) -> pd.DataFrame:

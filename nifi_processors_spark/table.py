@@ -209,6 +209,7 @@ class TransactionalTable:
         lineage_df: DataFrame | None = None,
         extra_stats: dict | None = None,
         broadcast_threshold: int = 2_000_000,
+        lineage_fn=None,
     ) -> dict:
         """Apply one micro-batch of change events (op/conv_id/turn_idx/
         payload/ts/seq) with LWW semantics. Idempotent per
@@ -220,7 +221,7 @@ class TransactionalTable:
             try:
                 return self._merge_once(
                     batch_df, source_id, batch_id, lineage_df, extra_stats,
-                    broadcast_threshold,
+                    broadcast_threshold, lineage_fn,
                 )
             except ConcurrentCommitError:
                 if attempt == 4:
@@ -230,7 +231,7 @@ class TransactionalTable:
 
     def _merge_once(
         self, batch_df, source_id, batch_id, lineage_df, extra_stats,
-        broadcast_threshold=2_000_000,
+        broadcast_threshold=2_000_000, lineage_fn=None,
     ):
         m = self.manifest()
         wm = m["watermarks"].get(source_id)
@@ -262,135 +263,161 @@ class TransactionalTable:
             (F.col("op") == F.lit("D")).alias("_deleted"),
         )
 
-        # --- intra-batch LWW dedup: one winner per key by (ts, _seq).
-        # max_by aggregation (partial/map-side combine) rather than a
-        # row_number window — no per-partition sort, skew-tolerant.
         non_key = [c for c in payload_cols if c not in key_cols] + INTERNAL_COLS
         up = up.withColumn("_bucket", self._bucket_expr(n_buckets))
-        up_d = (
-            up.groupBy("_bucket", *key_cols)
-            .agg(
-                F.expr(
-                    "max_by(struct({cols}), struct(ts, _seq))".format(
-                        cols=", ".join(non_key)
-                    )
-                ).alias("_w")
+
+        def _lww_agg(df):
+            """Intra-batch/merge LWW: one winner per key by (ts, _seq).
+            max_by aggregation (partial/map-side combine) rather than a
+            row_number window — no per-partition sort, skew-tolerant."""
+            return (
+                df.groupBy("_bucket", *key_cols)
+                .agg(
+                    F.expr(
+                        "max_by(struct({cols}), struct(ts, _seq))".format(
+                            cols=", ".join(non_key)
+                        )
+                    ).alias("_w")
+                )
+                .select(
+                    "_bucket", *key_cols,
+                    *[F.col(f"_w.{c}").alias(c) for c in non_key],
+                )
             )
-            .select(
-                "_bucket", *key_cols, *[F.col(f"_w.{c}").alias(c) for c in non_key]
-            )
-        )
-        up_d.persist()
+
+        # --- size the batch WITHOUT a job when possible: for
+        # file-backed batches (the streaming source) the input file
+        # sizes estimate rows on the driver. A clearly-bulk batch
+        # skips the exact pre-count entirely — at bulk spread every
+        # bucket is touched anyway, and the saved job is a full scan.
+        est_rows = None
         try:
-            n_batch = up_d.count()
-            affected = sorted(
-                r["_bucket"] for r in up_d.select("_bucket").distinct().collect()
+            import pyarrow.parquet as _pq
+
+            paths = [p[7:] if p.startswith("file://") else p
+                     for p in batch_df.inputFiles()]
+            if paths:
+                # exact row counts from parquet footers — a few ms per
+                # file on the driver, no Spark job
+                est_rows = sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+        except Exception:
+            est_rows = None
+
+        if est_rows is not None and est_rows > max(broadcast_threshold, 8 * n_buckets * 1000):
+            n_batch = est_rows
+            affected = list(range(n_buckets))
+        else:
+            # one light job (map-side-combined count) yields the batch
+            # size and the touched-bucket set (path choice + pruning)
+            bucket_counts = (
+                up.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
             )
-            affected_set = set(affected)
+            n_batch = sum(r["n"] for r in bucket_counts)
+            affected = sorted(r["_bucket"] for r in bucket_counts)
+        affected_set = set(affected)
 
-            old_files = m["files"]
-            touched = [f for f in old_files if f["bucket"] in affected_set]
-            kept = [f for f in old_files if f["bucket"] not in affected_set]
+        old_files = m["files"]
+        touched = [f for f in old_files if f["bucket"] in affected_set]
+        kept = [f for f in old_files if f["bucket"] not in affected_set]
 
-            existing = None
-            if touched:
-                internal = self._internal_schema()
-                existing = self.spark.read.schema(internal).parquet(
-                    *[os.path.join(self.path, f["path"]) for f in touched]
-                )
-                # align to evolved schema (new columns → null)
-                eproj = [
-                    (
-                        F.col(c).cast(f.dataType)
-                        if c in existing.columns
-                        else F.lit(None).cast(f.dataType)
-                    ).alias(c)
-                    for c, f in zip(payload_cols, new_schema.fields)
-                ]
-                existing = existing.select(
-                    *eproj, F.col("_seq"), F.col("_deleted")
-                ).withColumn("_bucket", self._bucket_expr(n_buckets))
-
-            version = m["version"] + 1
-            commit_rel = os.path.join("data", f"commit-{version:012d}")
-            commit_dir = os.path.join(self.path, commit_rel)
-            out_cols = ["_bucket", *payload_cols, *INTERNAL_COLS]
-
-            if existing is not None and n_batch <= broadcast_threshold:
-                # --- small-batch path (the steady-state CDC case):
-                # broadcast the deduped batch against the affected
-                # buckets — the big side is scanned in place, NEVER
-                # shuffled. Updated/unchanged rows are written back
-                # preserving scan partitioning (copy-on-write, no
-                # exchange in the plan); inserts are the small side.
-                merge_path = "broadcast-cow"
-                e, b = existing.alias("e"), F.broadcast(up_d.alias("b"))
-                on = [F.col(f"e.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
-                bwins = (F.col("b.ts") > F.col("e.ts")) | (
-                    (F.col("b.ts") == F.col("e.ts"))
-                    & (F.col("b._seq") >= F.col("e._seq"))
-                )
-                cow = e.join(b, on, "left").select(
-                    F.col("e._bucket").alias("_bucket"),
-                    *[F.col(f"e.{k}").alias(k) for k in key_cols],
-                    *[
-                        F.when(bwins, F.col(f"b.{c}"))
-                        .otherwise(F.col(f"e.{c}"))
-                        .alias(c)
-                        for c in non_key
-                    ],
-                ).select(*out_cols)
-                cow.write.partitionBy("_bucket").mode("errorifexists").parquet(
-                    os.path.join(commit_dir, "cow")
-                )
-                matched_keys = (
-                    existing.join(
-                        F.broadcast(up_d.select(*key_cols)), key_cols, "left_semi"
-                    )
-                    .select(*key_cols)
-                    .distinct()
-                )
-                inserts = up_d.join(
-                    F.broadcast(matched_keys), key_cols, "left_anti"
-                ).select(*out_cols)
-                inserts.write.partitionBy("_bucket").mode("errorifexists").parquet(
-                    os.path.join(commit_dir, "ins")
-                )
-            else:
-                # --- big-batch path (backfill / bulk replay): union the
-                # deduped batch with the affected buckets and take the
-                # LWW winner per key in one shuffle. AQE coalesces and
-                # splits skewed partitions at runtime.
-                merge_path = "union-agg"
-                unioned = (
-                    up_d.select(*out_cols).unionByName(existing.select(*out_cols))
-                    if existing is not None
-                    else up_d.select(*out_cols)
-                )
-                merged = (
-                    unioned.groupBy("_bucket", *key_cols)
-                    .agg(
-                        F.expr(
-                            "max_by(struct({cols}), struct(ts, _seq))".format(
-                                cols=", ".join(non_key)
-                            )
-                        ).alias("_w")
-                    )
-                    .select(
-                        "_bucket",
-                        *key_cols,
-                        *[F.col(f"_w.{c}").alias(c) for c in non_key],
-                    )
-                    .select(*out_cols)
-                )
+        existing = None
+        if touched:
+            internal = self._internal_schema()
+            existing = self.spark.read.schema(internal).parquet(
+                *[os.path.join(self.path, f["path"]) for f in touched]
+            )
+            # align to evolved schema (new columns → null)
+            eproj = [
                 (
-                    merged.repartition(max(len(affected), 1), "_bucket")
-                    .write.partitionBy("_bucket")
-                    .mode("errorifexists")
-                    .parquet(commit_dir)
-                )
-        finally:
-            up_d.unpersist()
+                    F.col(c).cast(f.dataType)
+                    if c in existing.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(c)
+                for c, f in zip(payload_cols, new_schema.fields)
+            ]
+            existing = existing.select(
+                *eproj, F.col("_seq"), F.col("_deleted")
+            ).withColumn("_bucket", self._bucket_expr(n_buckets))
+
+        version = m["version"] + 1
+        commit_rel = os.path.join("data", f"commit-{version:012d}")
+        commit_dir = os.path.join(self.path, commit_rel)
+        out_cols = ["_bucket", *payload_cols, *INTERNAL_COLS]
+
+        # self-heal file fragmentation: once the affected buckets
+        # average >3 files each, do a full union-agg rewrite (which
+        # emits exactly one file chain per bucket) instead of
+        # stacking more copy-on-write generations
+        fragmented = touched and len(touched) > 3 * len(affected)
+
+        if existing is not None and n_batch <= broadcast_threshold and not fragmented:
+            # --- small-batch path (the steady-state CDC case):
+            # broadcast the deduped batch against the affected
+            # buckets — the big side is scanned in place, NEVER
+            # shuffled. Updated/unchanged rows are written back
+            # preserving scan partitioning (copy-on-write, no
+            # exchange in the plan); inserts are the small side.
+            merge_path = "broadcast-cow"
+            up_d = _lww_agg(up)  # join build side needs unique keys
+            e, b = existing.alias("e"), F.broadcast(up_d.alias("b"))
+            on = [F.col(f"e.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
+            bwins = (F.col("b.ts") > F.col("e.ts")) | (
+                (F.col("b.ts") == F.col("e.ts"))
+                & (F.col("b._seq") >= F.col("e._seq"))
+            )
+            cow = e.join(b, on, "left").select(
+                F.col("e._bucket").alias("_bucket"),
+                *[F.col(f"e.{k}").alias(k) for k in key_cols],
+                *[
+                    F.when(bwins, F.col(f"b.{c}"))
+                    .otherwise(F.col(f"e.{c}"))
+                    .alias(c)
+                    for c in non_key
+                ],
+            ).select(*out_cols)
+            # keys are unique within the table — no distinct needed
+            matched_keys = existing.join(
+                F.broadcast(up_d.select(*key_cols)), key_cols, "left_semi"
+            ).select(*key_cols)
+            # cluster the (small) inserts side by bucket — without
+            # this every up_d partition writes a sliver file into
+            # every bucket and file count explodes quadratically
+            inserts = (
+                up_d.join(F.broadcast(matched_keys), key_cols, "left_anti")
+                .select(*out_cols)
+                .repartition(max(len(affected) // 2, 1), "_bucket")
+            )
+            # one write job: the cow side keeps its scan
+            # partitioning (no exchange); inserts ride along
+            cow.unionByName(inserts).write.partitionBy("_bucket").mode(
+                "errorifexists"
+            ).parquet(commit_dir)
+        else:
+            # --- big-batch path (backfill / bulk replay): union the
+            # deduped batch with the affected buckets and take the
+            # LWW winner per key in one shuffle. AQE coalesces and
+            # splits skewed partitions at runtime.
+            merge_path = "union-agg"
+            # batch dedup and merge-vs-existing fuse into ONE
+            # aggregation, and the whole merge moves the payload over
+            # ONE exchange: repartitioning by _bucket alone both
+            # satisfies the aggregate's clustered-distribution
+            # requirement (bucket ⊂ group keys ⇒ keys co-located) and
+            # leaves the output clustered for the partitionBy write —
+            # no second shuffle before writing.
+            unioned = (
+                up.select(*out_cols).unionByName(existing.select(*out_cols))
+                if existing is not None
+                else up.select(*out_cols)
+            )
+            merged = _lww_agg(
+                unioned.repartition(max(len(affected), 1), "_bucket")
+            ).select(*out_cols)
+            (
+                merged.write.partitionBy("_bucket")
+                .mode("errorifexists")
+                .parquet(commit_dir)
+            )
         new_files = []
         for root, _dirs, files in os.walk(commit_dir):
             for fn in files:
@@ -399,7 +426,12 @@ class TransactionalTable:
                     bucket = int(root.rsplit("_bucket=", 1)[1])
                     new_files.append({"path": rel, "bucket": bucket})
 
-        # --- lineage files (atomic with the data commit)
+        # --- lineage files (atomic with the data commit). lineage_fn
+        # runs AFTER the data write (so Observation metrics that piggy-
+        # backed on the merge's own scan are available — zero extra
+        # jobs) but BEFORE the manifest commit (atomicity).
+        if lineage_fn is not None and lineage_df is None:
+            lineage_df = lineage_fn()
         lineage_files = list(m.get("lineage_files", []))
         if lineage_df is not None:
             lin_rel = os.path.join("lineage", f"commit-{version:012d}")
@@ -441,6 +473,63 @@ class TransactionalTable:
             shutil.rmtree(commit_dir, ignore_errors=True)
             raise
         return {"skipped": False, "version": version, **stats}
+
+    # ----------------------------------------------------- maintenance
+
+    def compact(self, drop_tombstones: bool = False, max_files_per_bucket: int = 1) -> dict:
+        """Rewrite fragmented buckets so each holds at most
+        ``max_files_per_bucket`` files; optionally expire delete
+        tombstones (safe once no replay older than the deletes can
+        arrive). The analogue of Iceberg's rewrite_data_files."""
+        m = self.manifest()
+        by_bucket: dict[int, list[dict]] = {}
+        for f in m["files"]:
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        frag = {
+            b: fs for b, fs in by_bucket.items()
+            if len(fs) > max_files_per_bucket or drop_tombstones
+        }
+        if not frag:
+            return {"skipped": True, "reason": "nothing to compact"}
+        internal = self._internal_schema()
+        paths = [
+            os.path.join(self.path, f["path"]) for fs in frag.values() for f in fs
+        ]
+        df = self.spark.read.schema(internal).parquet(*paths)
+        if drop_tombstones:
+            df = df.filter(~F.col("_deleted"))
+        df = df.withColumn("_bucket", self._bucket_expr(m["n_buckets"]))
+        version = m["version"] + 1
+        commit_rel = os.path.join("data", f"commit-{version:012d}")
+        commit_dir = os.path.join(self.path, commit_rel)
+        (
+            df.repartition(max(len(frag), 1), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("errorifexists")
+            .parquet(commit_dir)
+        )
+        new_files = []
+        for root, _dirs, files in os.walk(commit_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, fn), self.path)
+                    new_files.append(
+                        {"path": rel, "bucket": int(root.rsplit("_bucket=", 1)[1])}
+                    )
+        kept = [f for f in m["files"] if f["bucket"] not in frag]
+        manifest = {
+            **m,
+            "version": version,
+            "files": kept + new_files,
+            "parent": m["version"],
+            "stats": {
+                "compacted_buckets": len(frag),
+                "files_before": sum(len(v) for v in frag.values()),
+                "files_after": len(new_files),
+            },
+        }
+        self._commit_manifest(manifest)
+        return {"skipped": False, "version": version, **manifest["stats"]}
 
     # --------------------------------------------------------- append
 
