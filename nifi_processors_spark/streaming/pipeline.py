@@ -40,8 +40,13 @@ from nifi_processors_spark.table import TransactionalTable
 
 
 class CdcPipeline:
-    def __init__(self, spark: SparkSession, config: EngineConfig):
+    def __init__(self, spark: SparkSession, config: EngineConfig, transform=None):
+        """``transform``: optional vectorized content-rewrite stage
+        (DataFrame → DataFrame, e.g. functions.rewrite.make_transform)
+        applied to the validated batch before the LWW merge — the
+        reference's route/transform/put content rewriting, vectorized."""
         self.spark = spark
+        self.transform = transform
         self.config = config.validate()
         self.table = self._ensure_table(
             config.table_path, TRANSCRIPTS_SCHEMA, KEY_COLS,
@@ -80,6 +85,8 @@ class CdcPipeline:
 
         tagged = with_error_reason(batch_df)
         valid = tagged.filter(F.col("error_reason").isNull()).drop("error_reason")
+        if self.transform is not None:
+            valid = self.transform(valid)
 
         # ONE small aggregation job computes routing counts AND the
         # per-shard lineage/metrics (the reference accumulated these in

@@ -74,8 +74,11 @@ class TransactionalTable:
         key_cols: list[str],
         lww_cols: list[str] | None = None,
         n_buckets: int = 32,
+        bucket_cols: list[str] | None = None,
     ) -> "TransactionalTable":
-        """Create an empty table (v0 manifest)."""
+        """Create an empty table (v0 manifest). ``bucket_cols``
+        defaults to the full key (skew-proof); pass a prefix (e.g.
+        ["conv_id"]) to co-locate conversations instead."""
         t = cls(spark, path)
         os.makedirs(t._log_dir, exist_ok=True)
         if t.current_version() is not None:
@@ -86,6 +89,7 @@ class TransactionalTable:
             "key_cols": key_cols,
             "lww_cols": lww_cols or ["ts"],
             "n_buckets": n_buckets,
+            "bucket_cols": bucket_cols or list(key_cols),
             "files": [],
             "lineage_files": [],
             "watermarks": {},
@@ -195,11 +199,25 @@ class TransactionalTable:
 
     # ---------------------------------------------------------- merge
 
-    def _bucket_expr(self, n_buckets: int):
+    def _bucket_expr(self, n_buckets: int, bucket_cols: list[str] | None = None):
         """Stable key→bucket hash. MUST never change for a live table
         (old files were placed with it). xxhash64 is Spark-native and
-        JVM-evaluated (whole-stage codegen — no Python in this path)."""
-        return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+        JVM-evaluated (whole-stage codegen — no Python in this path).
+
+        Buckets hash the FULL merge key by default: a viral
+        conversation's turns then spread across all buckets instead of
+        concentrating in one — bucket-level skew is solved structurally
+        (the reference's random-partition-key load spreading,
+        PutKinesisStream.java:264-269, made deterministic). File
+        pruning still works: any batch key hashes to exactly one
+        bucket."""
+        cols = bucket_cols
+        if cols is None:
+            try:
+                cols = self.manifest().get("bucket_cols") or ["conv_id", "turn_idx"]
+            except FileNotFoundError:
+                cols = ["conv_id", "turn_idx"]
+        return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
 
     def merge(
         self,
@@ -264,7 +282,8 @@ class TransactionalTable:
         )
 
         non_key = [c for c in payload_cols if c not in key_cols] + INTERNAL_COLS
-        up = up.withColumn("_bucket", self._bucket_expr(n_buckets))
+        bcols = m.get("bucket_cols") or ["conv_id", "turn_idx"]
+        up = up.withColumn("_bucket", self._bucket_expr(n_buckets, bcols))
 
         def _lww_agg(df):
             """Intra-batch/merge LWW: one winner per key by (ts, _seq).
@@ -337,7 +356,7 @@ class TransactionalTable:
             ]
             existing = existing.select(
                 *eproj, F.col("_seq"), F.col("_deleted")
-            ).withColumn("_bucket", self._bucket_expr(n_buckets))
+            ).withColumn("_bucket", self._bucket_expr(n_buckets, bcols))
 
         version = m["version"] + 1
         commit_rel = os.path.join("data", f"commit-{version:012d}")
@@ -461,6 +480,9 @@ class TransactionalTable:
             "key_cols": key_cols,
             "lww_cols": m["lww_cols"],
             "n_buckets": n_buckets,
+            # MUST carry through every commit: files are placed by this
+            # hash — losing it would silently re-bucket the table
+            "bucket_cols": bcols,
             "files": kept + new_files,
             "lineage_files": lineage_files,
             "watermarks": watermarks,
@@ -498,7 +520,10 @@ class TransactionalTable:
         df = self.spark.read.schema(internal).parquet(*paths)
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
-        df = df.withColumn("_bucket", self._bucket_expr(m["n_buckets"]))
+        df = df.withColumn(
+            "_bucket",
+            self._bucket_expr(m["n_buckets"], m.get("bucket_cols") or ["conv_id", "turn_idx"]),
+        )
         version = m["version"] + 1
         commit_rel = os.path.join("data", f"commit-{version:012d}")
         commit_dir = os.path.join(self.path, commit_rel)
