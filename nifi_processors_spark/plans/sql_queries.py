@@ -117,6 +117,16 @@ FROM events
 GROUP BY date_trunc('day', ts), event_type
 """
 
+#: grouping-set breadth: rollup over priority/status with NULL
+#: subtotal markers (identical semantics in both engines)
+ORDERS_ROLLUP_TPL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
 JSON_PROPS_TPL = """
 SELECT cast(@JSONK(props; k)@ AS int) % 10 AS k_mod,
        count(*) AS n,
@@ -371,6 +381,55 @@ def _render_emb_lsh(dialect: str) -> str:
     return out
 
 
+def _emb_ann_pairs_tpl() -> tuple[str, list]:
+    """The full ANN pipeline: hyperplane-LSH bucketing → candidate
+    pairs within a bucket → exact cosine verification. The LSH join
+    replaces the O(n²) cross-join of the brute-force baseline with a
+    per-bucket join — the scale path for near-duplicate embeddings."""
+    planes = _lsh_planes()
+    bits = []
+    for h, p in enumerate(planes):
+        arr = "array(" + ", ".join(repr(x) for x in p) + ")"
+        duck_arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append((h, arr, duck_arr))
+    bucket = " + ".join(
+        f"(CASE WHEN @DOT(embedding; __ARR{h}__)@ >= 0 THEN {1 << h} ELSE 0 END)"
+        for h, _, _ in bits
+    )
+    tpl = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+cand AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         x.embedding AS ea, y.embedding AS eb
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         @DOT(ea; eb)@
+           / (sqrt(@DOT(ea; ea)@) * sqrt(@DOT(eb; eb)@)) AS cos_sim
+  FROM cand
+)
+SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim
+FROM scored WHERE cos_sim >= 0.25
+"""
+    return tpl, bits
+
+
+def _render_emb_ann_pairs(dialect: str) -> str:
+    tpl, bits = _emb_ann_pairs_tpl()
+    out = render(tpl, dialect)
+    for h, spark_arr, duck_arr in bits:
+        out = out.replace(f"__ARR{h}__", spark_arr if dialect == "spark" else duck_arr)
+    return out
+
+
+def _emb_ann_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["embeddings"])
+    return spark.sql(_render_emb_ann_pairs("spark"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -383,6 +442,7 @@ _TEMPLATED = {
         ["customer", "orders", "lineitem", "supplier", "nation", "region"],
     ),
     "topk_orders_per_priority": (TOPK_PER_GROUP_TPL, ["orders"]),
+    "orders_rollup": (ORDERS_ROLLUP_TPL, ["orders"]),
     "events_sessionize": (SESSIONIZE_TPL, ["events"]),
     "events_daily_agg": (DAILY_AGG_TPL, ["events"]),
     "events_json_props": (JSON_PROPS_TPL, ["events"]),
@@ -419,3 +479,4 @@ QUERIES = {
     for name, (tpl, tables) in _TEMPLATED.items()
 }
 QUERIES["emb_lsh_buckets"] = (_emb_lsh_spark, _render_emb_lsh("duckdb"))
+QUERIES["emb_lsh_ann_pairs"] = (_emb_ann_pairs_spark, _render_emb_ann_pairs("duckdb"))
