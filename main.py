@@ -31,6 +31,7 @@ import json
 def parse_args(argv=None):
     ap = argparse.ArgumentParser(description="transcript CDC ingest pipeline")
     ap.add_argument("--binlog-dir", required=True)
+    ap.add_argument("--binlog-format", default="parquet", choices=["parquet", "json"])
     ap.add_argument("--table-path", required=True)
     ap.add_argument("--dead-letter-path", required=True)
     ap.add_argument("--checkpoint-dir", required=True)
@@ -65,6 +66,7 @@ def main(argv=None) -> None:
 
     cfg = EngineConfig(
         binlog_dir=args.binlog_dir,
+        binlog_format=args.binlog_format,
         table_path=args.table_path,
         dead_letter_path=args.dead_letter_path,
         checkpoint_dir=args.checkpoint_dir,

@@ -40,6 +40,7 @@ class EngineConfig:
 
     # --- source (≙ consumer properties, ACP:62-224) ---
     binlog_dir: str = ""
+    binlog_format: str = "parquet"  # parquet | json (Debezium-style lines)
     initial_position: str = "earliest"  # ≙ TRIM_HORIZON/LATEST ACP:85-92
     max_files_per_trigger: int = 8  # ≙ BATCH_SIZE KPD:43-51
     n_shards: int = 8  # ≙ stream shard count
@@ -84,6 +85,8 @@ class EngineConfig:
             raise ConfigError("binlog_dir is required")
         if not self.table_path:
             raise ConfigError("table_path is required")
+        if self.binlog_format not in ("parquet", "json"):
+            raise ConfigError("binlog_format must be parquet or json")
         if self.initial_position not in INITIAL_POSITIONS:
             raise ConfigError(
                 f"initial_position must be one of {INITIAL_POSITIONS}, "

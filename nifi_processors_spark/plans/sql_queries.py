@@ -217,36 +217,41 @@ _DOC_CORPUS = """
 """
 
 #: MinHash (6 hashes = min md5-int over word 3-gram shingles) → LSH
-#: (3 bands × 2 rows) → candidate pairs → exact shingle-Jaccard verify
-DOC_MINHASH_LSH_TPL = """
-WITH corpus AS ({corpus}),
-toks AS (
-  SELECT doc_id, @SPLITSP(text)@ AS w FROM corpus
-),
-shl AS (
-  SELECT doc_id, @SHINGLES3(w)@ AS sh FROM toks WHERE @LEN(w)@ >= 3
-),
-e AS (
-  SELECT DISTINCT doc_id, s
-  FROM (SELECT doc_id, @EXPLODE(sh)@ AS s FROM shl) t
-),
-sig AS (
-  SELECT doc_id,
-         min(@MD5INT('h0|' || s)@) AS m0,
-         min(@MD5INT('h1|' || s)@) AS m1,
-         min(@MD5INT('h2|' || s)@) AS m2,
-         min(@MD5INT('h3|' || s)@) AS m3,
-         min(@MD5INT('h4|' || s)@) AS m4,
-         min(@MD5INT('h5|' || s)@) AS m5,
-         count(*) AS n
-  FROM e GROUP BY doc_id
-),
-bands AS (
-  SELECT doc_id, 'b0|' || m0 || '_' || m1 AS bk FROM sig
+#: (3 bands × 2 rows) → candidate pairs → exact shingle-Jaccard verify.
+#: Split into fragments: the oracle composes them as CTEs; the Spark
+#: side executes the SAME fragments staged over CACHED views (Spark
+#: recomputes multiply-referenced CTEs — e is referenced 3×).
+MH_E_TPL = """
+SELECT DISTINCT doc_id, s
+FROM (
+  SELECT doc_id, @EXPLODE(sh)@ AS s
+  FROM (
+    SELECT doc_id, @SHINGLES3(w)@ AS sh
+    FROM (SELECT doc_id, @SPLITSP(text)@ AS w FROM ({corpus}) corpus) toks
+    WHERE @LEN(w)@ >= 3
+  ) shl
+) t
+"""
+
+MH_SIG_TPL = """
+SELECT doc_id,
+       min(@MD5INT('h0|' || s)@) AS m0,
+       min(@MD5INT('h1|' || s)@) AS m1,
+       min(@MD5INT('h2|' || s)@) AS m2,
+       min(@MD5INT('h3|' || s)@) AS m3,
+       min(@MD5INT('h4|' || s)@) AS m4,
+       min(@MD5INT('h5|' || s)@) AS m5,
+       count(*) AS n
+FROM {e} GROUP BY doc_id
+"""
+
+MH_REST_TPL = """
+WITH bands AS (
+  SELECT doc_id, 'b0|' || m0 || '_' || m1 AS bk FROM {sig}
   UNION ALL
-  SELECT doc_id, 'b1|' || m2 || '_' || m3 FROM sig
+  SELECT doc_id, 'b1|' || m2 || '_' || m3 FROM {sig}
   UNION ALL
-  SELECT doc_id, 'b2|' || m4 || '_' || m5 FROM sig
+  SELECT doc_id, 'b2|' || m4 || '_' || m5 FROM {sig}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -255,17 +260,38 @@ cand AS (
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ni
   FROM cand c
-  JOIN e ea ON ea.doc_id = c.doc_a
-  JOIN e eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+  JOIN {e} ea ON ea.doc_id = c.doc_a
+  JOIN {e} eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
        round(cast(i.ni AS double) / (sa.n + sb.n - i.ni), 4) AS jaccard
 FROM inter i
-JOIN sig sa ON sa.doc_id = i.doc_a
-JOIN sig sb ON sb.doc_id = i.doc_b
+JOIN {sig} sa ON sa.doc_id = i.doc_a
+JOIN {sig} sb ON sb.doc_id = i.doc_b
 WHERE cast(i.ni AS double) / (sa.n + sb.n - i.ni) >= 0.5
 """
+
+
+def _minhash_oracle() -> str:
+    e = MH_E_TPL.format(corpus=_DOC_CORPUS)
+    return render(
+        f"WITH e AS ({e}), sig AS ({MH_SIG_TPL.format(e='e')})\n"
+        + MH_REST_TPL.format(e="e", sig="sig").replace("WITH bands", ", bands", 1),
+        "duckdb",
+    )
+
+
+def _minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fragments as the oracle, staged: the shingle set (e) and
+    signatures (sig) are computed once and cached instead of being
+    recomputed per CTE reference."""
+    load_tables(spark, sf_dir, ["documents"])
+    e = spark.sql(render(MH_E_TPL.format(corpus=_DOC_CORPUS), "spark"))
+    e.persist().createOrReplaceTempView("mh_e")
+    sig = spark.sql(render(MH_SIG_TPL.format(e="mh_e"), "spark"))
+    sig.persist().createOrReplaceTempView("mh_sig")
+    return spark.sql(render(MH_REST_TPL.format(e="mh_e", sig="mh_sig"), "spark"))
 
 #: 16-bit SimHash per document from distinct-token md5 hashes
 DOC_SIMHASH_TPL = """
@@ -451,10 +477,6 @@ _TEMPLATED = {
     "doc_dedup_exact": (DOC_DEDUP_EXACT_TPL, ["documents"]),
     "doc_lang_id": (DOC_LANG_ID_TPL, ["documents"]),
     "doc_quality_score": (DOC_QUALITY_TPL, ["documents"]),
-    "doc_dedup_minhash_lsh": (
-        DOC_MINHASH_LSH_TPL.format(corpus=_DOC_CORPUS),
-        ["documents"],
-    ),
     "doc_simhash": (DOC_SIMHASH_TPL.format(corpus=_DOC_CORPUS), ["documents"]),
     "doc_ngram_jaccard": (DOC_NGRAM_JACCARD_TPL, ["documents"]),
     "emb_cosine_topk": (EMB_COSINE_TOPK_TPL, ["embeddings"]),
@@ -479,4 +501,5 @@ QUERIES = {
     for name, (tpl, tables) in _TEMPLATED.items()
 }
 QUERIES["emb_lsh_buckets"] = (_emb_lsh_spark, _render_emb_lsh("duckdb"))
+QUERIES["doc_dedup_minhash_lsh"] = (_minhash_spark, _minhash_oracle())
 QUERIES["emb_lsh_ann_pairs"] = (_emb_ann_pairs_spark, _render_emb_ann_pairs("duckdb"))

@@ -40,17 +40,24 @@ def read_binlog_stream(
             "file-tail source replays from earliest (TRIM_HORIZON); "
             "for latest semantics point the stream at a fresh binlog dir"
         )
-    return (
+    reader = (
         spark.readStream.schema(schema or CHANGE_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", config.max_files_per_trigger)
-        .parquet(config.binlog_dir)
     )
+    if config.binlog_format == "json":
+        # JSON-lines segments (Debezium-style wire format); the
+        # declared schema avoids inference and tolerates missing
+        # (pre-evolution) fields exactly like the parquet path
+        return reader.json(config.binlog_dir)
+    return reader.parquet(config.binlog_dir)
 
 
 def read_binlog_batch(
     spark: SparkSession,
     binlog_dir: str,
     schema: T.StructType | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Batch read of the full binlog (for bounded replay / backfill)."""
-    return spark.read.schema(schema or CHANGE_EVENTS_SCHEMA).parquet(binlog_dir)
+    reader = spark.read.schema(schema or CHANGE_EVENTS_SCHEMA)
+    return reader.json(binlog_dir) if fmt == "json" else reader.parquet(binlog_dir)
