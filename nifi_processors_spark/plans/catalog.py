@@ -113,7 +113,19 @@ def render(template: str, dialect: str) -> str:
 
 def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict[str, DataFrame]:
     """Register the driver-provided parquet tables as temp views and
-    return them. Parquet scans get Catalyst pushdown/pruning for free."""
+    return them. Parquet scans get Catalyst pushdown/pruning for free.
+
+    Session hygiene: the caller may hand us ANY SparkSession (the
+    driver's verify harness builds its own), so the confs our queries
+    depend on — UTC session time, TIMESTAMP (not NTZ) parquet reads so
+    unix_micros applies, and ANSI off for permissive casts — are set
+    here at runtime."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass
     out = {}
     for name in names or TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

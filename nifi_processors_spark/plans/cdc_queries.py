@@ -146,12 +146,12 @@ def cdc_lineage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct conversations, and max consumer lag (millisBehindLatest,
     GET:314-315) vs the stream high-water timestamp."""
     ce = _ce(spark, sf_dir)
-    hw = ce.agg(F.max("ts")).collect()[0][0]
-    # high-water truncated to whole seconds, as integer µs (exact;
-    # timegm treats the naive datetime as UTC regardless of host TZ)
-    import calendar
-
-    hw_us = calendar.timegm(hw.timetuple()) * 1_000_000
+    # high-water truncated to whole seconds, as integer µs — computed
+    # entirely JVM-side (collecting a timestamp would round-trip
+    # through the HOST's local timezone and shift on non-UTC machines)
+    hw_us = ce.agg(
+        F.unix_micros(F.date_trunc("second", F.max("ts")))
+    ).collect()[0][0]
     return ce.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("seq").alias("first_seq"),
