@@ -287,7 +287,9 @@ up 3-4x at 4x cores; the residual gap is the shared memory bus.
 Regenerate: `python BENCH/scaling.py` (size via SCALING_CONVS,
 levels via SCALING_LEVELS, micro-batches via SCALING_BATCHES).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # single-run snapshot; BENCH/BASELINE.md is the curated multi-run
+    # record and analysis
+    with open(os.path.join(REPO, "BENCH", "last_run.md"), "w") as f:
         f.write(md)
 
 
