@@ -117,6 +117,40 @@ FROM events
 GROUP BY date_trunc('day', ts), event_type
 """
 
+Q6_TPL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.08
+  AND l_quantity < 24
+"""
+
+#: Q12-style: join + conditional (CASE) aggregation by priority class
+Q12_TPL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_linestatus
+"""
+
+#: pivot expressed as conditional aggregation (engine-portable PIVOT)
+EVENTS_PIVOT_TPL = """
+SELECT user_id % 10 AS user_bucket,
+       round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4) AS click_value,
+       round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 4) AS view_value,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signups
+FROM events
+GROUP BY user_id % 10
+"""
+
 #: grouping-set breadth: rollup over priority/status with NULL
 #: subtotal markers (identical semantics in both engines)
 ORDERS_ROLLUP_TPL = """
@@ -469,6 +503,9 @@ _TEMPLATED = {
     ),
     "topk_orders_per_priority": (TOPK_PER_GROUP_TPL, ["orders"]),
     "orders_rollup": (ORDERS_ROLLUP_TPL, ["orders"]),
+    "q6_forecast_revenue": (Q6_TPL, ["lineitem"]),
+    "q12_priority_lines": (Q12_TPL, ["orders", "lineitem"]),
+    "events_type_pivot": (EVENTS_PIVOT_TPL, ["events"]),
     "events_sessionize": (SESSIONIZE_TPL, ["events"]),
     "events_daily_agg": (DAILY_AGG_TPL, ["events"]),
     "events_json_props": (JSON_PROPS_TPL, ["events"]),
