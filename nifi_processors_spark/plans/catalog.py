@@ -81,6 +81,11 @@ _DIALECT = {
         "get_json_object({0}, '$.{1}')",
         "json_extract_string({0}, '$.{1}')",
     ),
+    # integer sum pinned to BIGINT: DuckDB's sum() over integers
+    # returns HUGEINT (int128) which the driver's type-sensitive value
+    # hash rejects; Spark's returns BIGINT. Casting on both sides keeps
+    # the one-template invariant AND the cross-engine type identity.
+    "BSUM": ("cast(sum({0}) AS bigint)", "cast(sum({0}) AS bigint)"),
     # integer division (both truncate/floor the same for positives)
     "IDIV": ("({0} div {1})", "({0} // {1})"),
     # integer range array, inclusive

@@ -102,7 +102,7 @@ s AS (
   FROM z GROUP BY user_id, sid
 )
 SELECT user_id, count(*) AS n_sessions,
-       sum(sess_events) AS n_events,
+       @BSUM(sess_events)@ AS n_events,
        max(sess_events) AS max_session_events,
        max(sess_span_us) AS max_session_span_us
 FROM s GROUP BY user_id
@@ -130,10 +130,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 #: Q12-style: join + conditional (CASE) aggregation by priority class
 Q12_TPL = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       @BSUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END)@ AS high_line_count,
+       @BSUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END)@ AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate
 GROUP BY l_linestatus
@@ -145,8 +145,8 @@ SELECT user_id % 10 AS user_bucket,
        round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4) AS click_value,
        round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 4) AS view_value,
        round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signups
+       @BSUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)@ AS n_errors,
+       @BSUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)@ AS n_signups
 FROM events
 GROUP BY user_id % 10
 """
@@ -327,24 +327,27 @@ def _minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig.persist().createOrReplaceTempView("mh_sig")
     return spark.sql(render(MH_REST_TPL.format(e="mh_e", sig="mh_sig"), "spark"))
 
-#: 16-bit SimHash per document from distinct-token md5 hashes
-DOC_SIMHASH_TPL = """
-WITH corpus AS ({corpus}),
+#: 16-bit SimHash per document from distinct-token md5 hashes.
+#: Single-pass: the 16 bit-majority votes are 16 conditional-sum
+#: aggregate expressions over the UN-exploded token hashes (one
+#: group-by, 1× rows) — not a CROSS JOIN explode of bit positions
+#: (which shuffles 16× the rows for identical results).
+_SIMHASH_BIT_VOTES = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN @SHR(hv; {b})@ % 2 = 1 THEN 1 ELSE -1 END) >= 0"
+    f" THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+DOC_SIMHASH_TPL = f"""
+WITH corpus AS ({{corpus}}),
 tok AS (
   SELECT DISTINCT doc_id, t
   FROM (SELECT doc_id, @EXPLODE(@SPLITSP(text)@)@ AS t FROM corpus) x
 ),
-h AS (SELECT doc_id, @MD5INT(t)@ AS hv FROM tok),
-bits AS (
-  SELECT doc_id, b,
-         sum(CASE WHEN @SHR(hv; b)@ % 2 = 1 THEN 1 ELSE -1 END) AS s
-  FROM h
-  CROSS JOIN (SELECT @EXPLODE(@SEQ(0; 15)@)@ AS b) bs
-  GROUP BY doc_id, b
-)
+h AS (SELECT doc_id, @MD5INT(t)@ AS hv FROM tok)
 SELECT doc_id,
-       sum(CASE WHEN s >= 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS simhash
-FROM bits GROUP BY doc_id
+       cast({_SIMHASH_BIT_VOTES} AS bigint) AS simhash
+FROM h GROUP BY doc_id
 """
 
 #: n-gram Jaccard among a deterministic probe subset (brute-force

@@ -143,17 +143,25 @@ class CdcPipeline:
             batch_id=batch_id,
             lineage_df=lineage_df,
             broadcast_threshold=cfg.merge_broadcast_threshold,
+            retries=cfg.commit_retries,
+            backoff_ms=cfg.commit_retry_backoff_ms,
         )
 
-        # dead-letter routing (failure relationship): append only when
-        # the metrics pass saw invalid rows; watermarked so redelivery
-        # duplicates nothing.
-        if n_dlq and self.dead_letter is not None and not stats.get("skipped"):
+        # dead-letter routing (failure relationship). Runs even when the
+        # merge was watermark-skipped: a crash between the merge commit
+        # and this append would otherwise lose the batch's DLQ rows
+        # forever (redelivery hits the merge watermark). The DLQ table's
+        # own (source::dlq, batch_id) watermark makes re-appends no-ops.
+        if n_dlq and self.dead_letter is not None:
             invalid = tagged.filter(F.col("error_reason").isNotNull()).withColumn(
                 "batch_id", F.lit(batch_id)
             )
             self.dead_letter.append(
-                invalid, source_id=f"{cfg.source_id}::dlq", batch_id=batch_id
+                invalid,
+                source_id=f"{cfg.source_id}::dlq",
+                batch_id=batch_id,
+                retries=cfg.commit_retries,
+                backoff_ms=cfg.commit_retry_backoff_ms,
             )
         stats = {**stats, "n_dead_letter": n_dlq}
         self.last_batch_stats = stats

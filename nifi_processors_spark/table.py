@@ -219,6 +219,22 @@ class TransactionalTable:
                 cols = ["conv_id", "turn_idx"]
         return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
 
+    @staticmethod
+    def _is_bare_scan(df: DataFrame) -> bool:
+        """True iff the optimized logical plan contains only
+        row-count-preserving nodes (scan + projection) — the only case
+        where parquet-footer row counts equal the batch's row count."""
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:
+            return False
+        allowed = ("Relation", "Project", "LogicalRDD")
+        for line in plan.splitlines():
+            node = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+            if node and not any(node.startswith(a) for a in allowed):
+                return False
+        return True
+
     def merge(
         self,
         batch_df: DataFrame,
@@ -228,28 +244,44 @@ class TransactionalTable:
         extra_stats: dict | None = None,
         broadcast_threshold: int = 2_000_000,
         lineage_fn=None,
+        retries: int = 4,
+        backoff_ms: int = 50,
     ) -> dict:
         """Apply one micro-batch of change events (op/conv_id/turn_idx/
         payload/ts/seq) with LWW semantics. Idempotent per
         (source_id, batch_id): a redelivered batch is skipped via the
         committed watermark; a replayed-from-scratch stream converges
         anyway because the merge itself is LWW-idempotent.
+
+        ``retries``/``backoff_ms`` come from EngineConfig
+        (commit_retries / commit_retry_backoff_ms ≙ the reference's
+        retry policy, ACP:181-188). Each contended attempt is recorded
+        in the committed stats' ``attempt_history`` — the analogue of
+        the producer's per-attempt error attributes (PUT:343-364).
         """
-        for attempt in range(5):
+        history: list[dict] = []
+        for attempt in range(retries + 1):
             try:
                 return self._merge_once(
                     batch_df, source_id, batch_id, lineage_df, extra_stats,
-                    broadcast_threshold, lineage_fn,
+                    broadcast_threshold, lineage_fn, attempt_history=history,
                 )
-            except ConcurrentCommitError:
-                if attempt == 4:
+            except ConcurrentCommitError as e:
+                if attempt == retries:
                     raise
-                time.sleep(0.05 * (2**attempt))
+                delay_ms = backoff_ms * (2**attempt)
+                history.append({
+                    "attempt": attempt + 1,
+                    "error": type(e).__name__,
+                    "message": str(e),
+                    "backoff_ms": delay_ms,
+                })
+                time.sleep(delay_ms / 1000.0)
         raise AssertionError("unreachable")
 
     def _merge_once(
         self, batch_df, source_id, batch_id, lineage_df, extra_stats,
-        broadcast_threshold=2_000_000, lineage_fn=None,
+        broadcast_threshold=2_000_000, lineage_fn=None, attempt_history=None,
     ):
         m = self.manifest()
         wm = m["watermarks"].get(source_id)
@@ -258,6 +290,15 @@ class TransactionalTable:
 
         key_cols = m["key_cols"]
         n_buckets = m["n_buckets"]
+        # LWW ordering columns from the manifest — a table created with
+        # custom lww_cols merges by ITS order. The stream's `seq` is
+        # stored as the internal `_seq`; `_seq` is always the final
+        # tie-break (total order even for identical lww values).
+        lww_order = [
+            ("_seq" if c == "seq" else c) for c in (m.get("lww_cols") or ["ts"])
+        ]
+        if "_seq" not in lww_order:
+            lww_order.append("_seq")
         cur_schema = T.StructType.fromJson(json.loads(m["schema"]))
 
         # --- schema evolution: union-by-name with the batch's payload
@@ -286,15 +327,16 @@ class TransactionalTable:
         up = up.withColumn("_bucket", self._bucket_expr(n_buckets, bcols))
 
         def _lww_agg(df):
-            """Intra-batch/merge LWW: one winner per key by (ts, _seq).
-            max_by aggregation (partial/map-side combine) rather than a
-            row_number window — no per-partition sort, skew-tolerant."""
+            """Intra-batch/merge LWW: one winner per key by the
+            manifest's (lww_cols, _seq) order. max_by aggregation
+            (partial/map-side combine) rather than a row_number window
+            — no per-partition sort, skew-tolerant."""
             return (
                 df.groupBy("_bucket", *key_cols)
                 .agg(
                     F.expr(
-                        "max_by(struct({cols}), struct(ts, _seq))".format(
-                            cols=", ".join(non_key)
+                        "max_by(struct({cols}), struct({ord}))".format(
+                            cols=", ".join(non_key), ord=", ".join(lww_order)
                         )
                     ).alias("_w")
                 )
@@ -315,7 +357,12 @@ class TransactionalTable:
 
             paths = [p[7:] if p.startswith("file://") else p
                      for p in batch_df.inputFiles()]
-            if paths:
+            # only trust the footer estimate when the batch plan is a
+            # bare scan (row-preserving nodes only): a filtered view of
+            # a big file would otherwise overcount, misreport
+            # n_upserts, and wrongly push small batches onto the
+            # all-buckets bulk path (defeating file pruning)
+            if paths and self._is_bare_scan(batch_df):
                 # exact row counts from parquet footers — a few ms per
                 # file on the driver, no Spark job
                 est_rows = sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
@@ -359,7 +406,15 @@ class TransactionalTable:
             ).withColumn("_bucket", self._bucket_expr(n_buckets, bcols))
 
         version = m["version"] + 1
-        commit_rel = os.path.join("data", f"commit-{version:012d}")
+        # unique per-attempt dir: two writers racing the same version
+        # never share a data path (errorifexists is check-then-write,
+        # not atomic), this writer's os.walk can only see its own
+        # files, and a loser's cleanup rmtree cannot touch data the
+        # winner's committed manifest references — the manifest link
+        # alone decides the winner.
+        commit_rel = os.path.join(
+            "data", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
+        )
         commit_dir = os.path.join(self.path, commit_rel)
         out_cols = ["_bucket", *payload_cols, *INTERNAL_COLS]
 
@@ -380,9 +435,10 @@ class TransactionalTable:
             up_d = _lww_agg(up)  # join build side needs unique keys
             e, b = existing.alias("e"), F.broadcast(up_d.alias("b"))
             on = [F.col(f"e.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
-            bwins = (F.col("b.ts") > F.col("e.ts")) | (
-                (F.col("b.ts") == F.col("e.ts"))
-                & (F.col("b._seq") >= F.col("e._seq"))
+            # lexicographic struct comparison = the manifest's LWW order
+            bwins = (
+                F.struct(*[F.col(f"b.{c}") for c in lww_order])
+                >= F.struct(*[F.col(f"e.{c}") for c in lww_order])
             )
             cow = e.join(b, on, "left").select(
                 F.col("e._bucket").alias("_bucket"),
@@ -452,8 +508,11 @@ class TransactionalTable:
         if lineage_fn is not None and lineage_df is None:
             lineage_df = lineage_fn()
         lineage_files = list(m.get("lineage_files", []))
+        lin_rel = None
         if lineage_df is not None:
-            lin_rel = os.path.join("lineage", f"commit-{version:012d}")
+            lin_rel = os.path.join(
+                "lineage", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
+            )
             lineage_df.coalesce(1).write.mode("errorifexists").parquet(
                 os.path.join(self.path, lin_rel)
             )
@@ -472,6 +531,10 @@ class TransactionalTable:
             "buckets_touched": len(affected),
             "files_rewritten": len(touched),
             "files_added": len(new_files),
+            # per-attempt commit-retry history (≙ the producer's
+            # flattened attempt attributes, PUT:343-364)
+            "commit_attempts": len(attempt_history or []) + 1,
+            "attempt_history": list(attempt_history or []),
             **(extra_stats or {}),
         }
         manifest = {
@@ -492,7 +555,11 @@ class TransactionalTable:
         try:
             self._commit_manifest(manifest)
         except ConcurrentCommitError:
+            # safe: this attempt's dirs are uniquely named, so only
+            # THIS loser's files are removed, never the winner's
             shutil.rmtree(commit_dir, ignore_errors=True)
+            if lin_rel is not None:
+                shutil.rmtree(os.path.join(self.path, lin_rel), ignore_errors=True)
             raise
         return {"skipped": False, "version": version, **stats}
 
@@ -525,7 +592,9 @@ class TransactionalTable:
             self._bucket_expr(m["n_buckets"], m.get("bucket_cols") or ["conv_id", "turn_idx"]),
         )
         version = m["version"] + 1
-        commit_rel = os.path.join("data", f"commit-{version:012d}")
+        commit_rel = os.path.join(
+            "data", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
+        )
         commit_dir = os.path.join(self.path, commit_rel)
         (
             df.repartition(max(len(frag), 1), "_bucket")
@@ -553,16 +622,27 @@ class TransactionalTable:
                 "files_after": len(new_files),
             },
         }
-        self._commit_manifest(manifest)
+        try:
+            self._commit_manifest(manifest)
+        except ConcurrentCommitError:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
         return {"skipped": False, "version": version, **manifest["stats"]}
 
     # --------------------------------------------------------- append
 
-    def append(self, df: DataFrame, source_id: str | None = None, batch_id: int | None = None) -> dict:
+    def append(
+        self,
+        df: DataFrame,
+        source_id: str | None = None,
+        batch_id: int | None = None,
+        retries: int = 4,
+        backoff_ms: int = 50,
+    ) -> dict:
         """Append-only commit (dead-letter / metrics tables). Optional
         (source_id, batch_id) watermark makes re-appends of a
         redelivered micro-batch no-ops."""
-        for attempt in range(5):
+        for attempt in range(retries + 1):
             m = self.manifest()
             if source_id is not None and batch_id is not None:
                 wm = m["watermarks"].get(source_id)
@@ -580,7 +660,11 @@ class TransactionalTable:
                 F.lit(None).cast("long").alias("_seq"),
                 F.lit(False).alias("_deleted"),
             )
-            commit_rel = os.path.join("data", f"commit-{version:012d}", "_bucket=-1")
+            commit_rel = os.path.join(
+                "data",
+                f"commit-{version:012d}-{uuid.uuid4().hex[:8]}",
+                "_bucket=-1",
+            )
             out.write.mode("errorifexists").parquet(os.path.join(self.path, commit_rel))
             new_files = [
                 {"path": os.path.join(commit_rel, fn), "bucket": -1}
@@ -600,9 +684,18 @@ class TransactionalTable:
             }
             try:
                 self._commit_manifest(manifest)
-                return {"skipped": False, "version": version, "files_added": len(new_files)}
+                return {
+                    "skipped": False,
+                    "version": version,
+                    "files_added": len(new_files),
+                    "commit_attempts": attempt + 1,
+                }
             except ConcurrentCommitError:
-                if attempt == 4:
+                shutil.rmtree(
+                    os.path.join(self.path, os.path.dirname(commit_rel)),
+                    ignore_errors=True,
+                )
+                if attempt == retries:
                     raise
-                time.sleep(0.05 * (2**attempt))
+                time.sleep(backoff_ms / 1000.0 * (2**attempt))
         raise AssertionError("unreachable")

@@ -68,6 +68,22 @@ def test_query_matches_oracle(spark, name):
     con = duck_con(SF_DIR)
     res = con.sql(oracles[name])
     dcols = res.columns
+    # The driver's value hash is TYPE-sensitive on the DuckDB side:
+    # HUGEINT (what DuckDB's sum() over integers returns) hashes
+    # differently from the BIGINT Spark emits even when values are
+    # equal, and this file's int-normalizing compare cannot see that.
+    # Gate the oracle's column types to the hash-safe set (round-1
+    # failures q12/pivot/sessionize/simhash were all HUGEINT).
+    HASH_SAFE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+                 "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN"}
+    bad = [
+        (c, str(t)) for c, t in zip(res.columns, res.types)
+        if str(t).upper() not in HASH_SAFE
+    ]
+    assert not bad, (
+        f"{name}: oracle emits driver-hash-unsafe types {bad}; "
+        "cast integer sums with @BSUM(...)@ / cast(... AS bigint)"
+    )
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), (
