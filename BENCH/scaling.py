@@ -36,7 +36,7 @@ SHARDS = 32
 SEGMENTS = int(os.environ.get("SCALING_SEGMENTS", "8"))
 BATCHES = int(os.environ.get("SCALING_BATCHES", "2"))
 LEVELS = tuple(
-    int(x) for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")
+    int(x) for x in os.environ.get("SCALING_LEVELS", "1,2,4,8,32").split(",")
 )
 #: attempts per level, best kept — the sandbox host has noisy
 #: neighbors (observed 2x wall-time swings on identical runs)
@@ -167,8 +167,13 @@ def main() -> None:
                 best = r
         results[cores] = best
 
+    # the north rule compares cluster sizes N and 4N: report every
+    # measured (N, 4N) pair; fall back to adjacent levels otherwise
     pairs = {}
-    for lo, hi in zip(LEVELS, LEVELS[1:]):
+    pair_keys = [(lo, hi) for lo in LEVELS for hi in LEVELS if hi == 4 * lo]
+    if not pair_keys:
+        pair_keys = list(zip(LEVELS, LEVELS[1:]))
+    for lo, hi in pair_keys:
         ratio = hi // lo
         eff = results[hi]["events_per_sec"] / (ratio * results[lo]["events_per_sec"])
         ctrl = controls[hi] / (ratio * controls[lo])

@@ -37,6 +37,59 @@ HEADLINE = [
 ]
 
 
+def merge_apply_throughput(spark, sf_dir: str) -> tuple[int, float]:
+    """Merge-apply throughput over an ENLARGED derived stream (≥1M
+    events at sf0.1): the sf events table is replicated 16× with
+    distinct conversation ids and interleaved seqs, written out as a
+    binlog (outside timing), then replayed through the transactional
+    LWW merge in 2 bulk batches. At 100k source events the flagship
+    oracle query is driver-job-latency bound (~5 jobs × ~0.5 s per
+    merge); this measurement is large enough to reflect the engine."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nifi_processors_spark.plans.cdc_queries import _ce
+    from nifi_processors_spark.schema import (
+        KEY_COLS,
+        LWW_COLS,
+        TRANSCRIPTS_SCHEMA,
+    )
+    from nifi_processors_spark.table import TransactionalTable
+
+    repl = int(os.environ.get("BENCH_MERGE_REPLICAS", "16"))
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-merge-", dir=base)
+    try:
+        ce = _ce(spark, sf_dir)
+        big = (
+            ce.crossJoin(F.broadcast(spark.range(repl).withColumnRenamed("id", "_r")))
+            .withColumn("conv_id", F.concat_ws("-", "conv_id", "_r"))
+            .withColumn("seq", F.col("seq") * repl + F.col("_r"))
+            .withColumn("half", F.pmod(F.col("seq"), F.lit(2)))
+            .drop("_r")
+        )
+        binlog = os.path.join(work, "binlog")
+        big.write.partitionBy("half").parquet(binlog)  # outside timing
+        batches = [
+            spark.read.parquet(os.path.join(binlog, f"half={i}")) for i in range(2)
+        ]
+        n_events = sum(b.count() for b in batches)
+
+        t0 = time.perf_counter()
+        table = TransactionalTable.create(
+            spark, os.path.join(work, "t"), TRANSCRIPTS_SCHEMA, KEY_COLS,
+            LWW_COLS, n_buckets=64,
+        )
+        for i, b in enumerate(batches):
+            table.merge(b, "bench", i, broadcast_threshold=300_000)
+        dt = time.perf_counter() - t0
+        return n_events, round(dt, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -48,19 +101,17 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    n_merge_events = 0
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
-        if name == "cdc_merge_full_replay":
-            # events replayed = rows of the derived stream (= events table)
-            n_merge_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         del rows
 
+    n_merge_events, merge_sec = merge_apply_throughput(spark, sf_dir)
+    timings["merge_apply_16x"] = merge_sec
+
     total = round(sum(timings.values()), 3)
-    merge_sec = timings.get("cdc_merge_full_replay", 0.0)
     out = {
         "metric": "headline query wall time (sf parquet, local mode)",
         "value": total,

@@ -149,17 +149,22 @@ def cdc_lineage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # high-water truncated to whole seconds, as integer µs — computed
     # entirely JVM-side (collecting a timestamp would round-trip
     # through the HOST's local timezone and shift on non-UTC machines)
-    hw_us = ce.agg(
-        F.unix_micros(F.date_trunc("second", F.max("ts")))
-    ).collect()[0][0]
-    return ce.groupBy("shard").agg(
+    # and joined in as a broadcast scalar so the whole query is ONE
+    # action (no separate driver collect job for the high-water mark).
+    hw = ce.agg(
+        F.unix_micros(F.date_trunc("second", F.max("ts"))).alias("_hw_us")
+    )
+    per_shard = ce.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("seq").alias("first_seq"),
         F.max("seq").alias("last_seq"),
         F.countDistinct("conv_id").alias("n_convs"),
-        F.expr(
-            f"({hw_us}L - unix_micros(min(arrival_ts))) div 1000"
-        ).alias("max_lag_ms"),
+        F.unix_micros(F.min("arrival_ts")).alias("_min_arr_us"),
+    )
+    return (
+        per_shard.crossJoin(F.broadcast(hw))
+        .withColumn("max_lag_ms", F.expr("(_hw_us - _min_arr_us) div 1000"))
+        .drop("_hw_us", "_min_arr_us")
     )
 
 

@@ -39,6 +39,25 @@ from nifi_processors_spark.sources.binlog import read_binlog_stream
 from nifi_processors_spark.table import TransactionalTable
 
 
+def _obs_values(obs, names: list[str]) -> dict | None:
+    """Latched Observation metrics by POSITION. ``Observation.get``
+    round-trips the JVM row through ``PythonSQLUtils.toPyRow``, which
+    asserts the row carries a schema — in foreachBatch the metrics row
+    sometimes arrives as a schema-less GenericRow and that assertion
+    fires. All our metrics are longs/nulls, which py4j converts
+    natively, so positional access on the JVM row is both safe and
+    schema-independent. Blocks until the first action latches.
+
+    Returns None when the latched row is EMPTY — observed empirically
+    when the first action's result is empty (e.g. every row of the
+    batch was filtered out above the CollectMetrics node); callers
+    must fall back to a direct aggregation for that case."""
+    jrow = obs._jo.getRow()
+    if jrow.size() == 0:
+        return None
+    return {name: jrow.get(i) for i, name in enumerate(names)}
+
+
 class CdcPipeline:
     def __init__(self, spark: SparkSession, config: EngineConfig, transform=None):
         """``transform``: optional vectorized content-rewrite stage
@@ -80,72 +99,128 @@ class CdcPipeline:
             self.last_batch_stats = {"skipped": True, "reason": "empty"}
             return self.last_batch_stats
 
+        import uuid as _uuid
+
+        from pyspark.sql.observation import Observation
+
         from nifi_processors_spark.functions.attributes import with_error_reason
-        from nifi_processors_spark.schema import LINEAGE_SCHEMA
 
         tagged = with_error_reason(batch_df)
-        valid = tagged.filter(F.col("error_reason").isNull()).drop("error_reason")
-        if self.transform is not None:
-            valid = self.transform(valid)
 
-        # ONE small aggregation job computes routing counts AND the
-        # per-shard lineage/metrics (the reference accumulated these in
-        # its per-record loop, GET:245-267,307-322) — no per-concern
-        # scans. Result is a handful of rows collected to the driver.
-        lineage_df = None
-        n_dlq = 0
-        if cfg.metrics_enabled or cfg.fail_on_dead_letter or self.dead_letter is not None:
-            gran = (
-                F.col("shard")
+        # ZERO-extra-job metrics: routing counts and per-shard
+        # lineage/metrics (the reference accumulated these in its
+        # per-record loop, GET:245-267,307-322) ride the merge's OWN
+        # first job as aggregate Observations on the validated batch —
+        # no dedicated metrics scan at all. Per-shard granularity is
+        # expressed as conditional aggregates (one set per shard id),
+        # all evaluated in the same pass.
+        obs = None
+        tags: list[int | None] = []
+        want_metrics = (
+            cfg.metrics_enabled or cfg.fail_on_dead_letter
+            or self.dead_letter is not None
+        )
+        if want_metrics:
+            obs = Observation(f"cdc-b{batch_id}-{_uuid.uuid4().hex[:6]}")
+            tags = (
+                list(range(cfg.n_shards))
                 if cfg.metrics_granularity == "shard"
-                else F.lit(None).cast("int")
+                else [None]
             )
-            ok = F.col("error_reason").isNull()
-            mrows = (
-                tagged.groupBy(gran.alias("shard"))
-                .agg(
-                    F.sum((~ok).cast("long")).alias("n_invalid"),
-                    F.sum(ok.cast("long")).alias("n_events"),
-                    F.min(F.when(ok, F.col("seq"))).alias("first_seq"),
-                    F.max(F.when(ok, F.col("seq"))).alias("last_seq"),
+            is_err = F.col("error_reason").isNotNull()
+            expr_names = ["inv_total"]
+            exprs = [F.sum(is_err.cast("long")).alias("inv_total")]
+            for s in tags:
+                in_s = F.lit(True) if s is None else (F.col("shard") == s)
+                ok, ko = in_s & ~is_err, in_s & is_err
+                t = "all" if s is None else str(s)
+                exprs += [
+                    F.sum(ko.cast("long")).alias(f"inv_{t}"),
+                    F.sum(ok.cast("long")).alias(f"n_{t}"),
+                    F.min(F.when(ok, F.col("seq"))).alias(f"fs_{t}"),
+                    F.max(F.when(ok, F.col("seq"))).alias(f"ls_{t}"),
                     F.max(
                         F.when(
                             ok,
                             F.unix_millis(F.current_timestamp())
                             - F.unix_millis(F.col("arrival_ts")),
                         )
-                    ).alias("max_lag_ms"),
+                    ).alias(f"lag_{t}"),
+                ]
+                expr_names += [f"inv_{t}", f"n_{t}", f"fs_{t}", f"ls_{t}", f"lag_{t}"]
+            tagged = tagged.observe(obs, *exprs)
+
+        valid = tagged.filter(F.col("error_reason").isNull()).drop("error_reason")
+        if self.transform is not None:
+            valid = self.transform(valid)
+
+        holder: dict = {}
+
+        def _lineage_after_write():
+            """Runs inside merge AFTER the data write, BEFORE the
+            manifest commit: the observation is latched by then (the
+            merge's first job scanned the observed batch), so this is
+            pure driver-side bookkeeping. Raising here aborts the
+            commit (batch failure ≙ route-all-to-failure + yield,
+            PUT:329-333) with nothing made visible."""
+            vals = _obs_values(obs, expr_names)
+            if vals is None:
+                # the observation latched an empty row (all rows of
+                # this batch filtered out before the first action's
+                # output — e.g. an all-invalid micro-batch): compute
+                # the same aggregates with one direct job
+                row = tagged.agg(*exprs).collect()[0]
+                vals = {n: row[n] for n in expr_names}
+            n_inv = int(vals["inv_total"] or 0)
+            holder["n_dlq"] = n_inv
+            if n_inv and cfg.fail_on_dead_letter:
+                raise ValueError(f"{n_inv} invalid events in batch {batch_id}")
+            if not cfg.metrics_enabled:
+                return None
+            rows = []
+            for s in tags:
+                t = "all" if s is None else str(s)
+                n = int(vals[f"n_{t}"] or 0)
+                inv = int(vals[f"inv_{t}"] or 0)
+                if n == 0 and inv == 0:
+                    continue
+                rows.append(
+                    {
+                        "source_id": cfg.source_id,
+                        "batch_id": int(batch_id),
+                        "shard": s,
+                        "first_seq": vals[f"fs_{t}"],
+                        "last_seq": vals[f"ls_{t}"],
+                        "n_events": n,
+                        "n_dead_letter": inv,
+                        "max_lag_ms": vals[f"lag_{t}"],
+                    }
                 )
-                .collect()
-            )
-            n_dlq = int(sum(r["n_invalid"] or 0 for r in mrows))
-            if n_dlq and cfg.fail_on_dead_letter:
-                # whole-batch failure → Structured Streaming retries the
-                # micro-batch (≙ route-all-to-failure + yield, PUT:329-333)
-                raise ValueError(f"{n_dlq} invalid events in batch {batch_id}")
-            if cfg.metrics_enabled:
-                lineage_df = self.spark.createDataFrame(
-                    [
-                        (
-                            cfg.source_id, int(batch_id),
-                            r["shard"], r["first_seq"], r["last_seq"],
-                            r["n_events"], int(r["n_invalid"] or 0),
-                            r["max_lag_ms"],
-                        )
-                        for r in mrows
-                    ],
-                    LINEAGE_SCHEMA,
-                )
+            return rows
+
+        # footer-based row count of the RAW (pre-validation) batch — an
+        # upper bound the merge may use to pick the bulk path without a
+        # pre-count job (the validated view is filtered, so its own
+        # plan is not a bare scan)
+        hint = self.table.footer_row_estimate(batch_df)
 
         stats = self.table.merge(
             valid,
             source_id=cfg.source_id,
             batch_id=batch_id,
-            lineage_df=lineage_df,
+            lineage_fn=_lineage_after_write if obs is not None else None,
             broadcast_threshold=cfg.merge_broadcast_threshold,
             retries=cfg.commit_retries,
             backoff_ms=cfg.commit_retry_backoff_ms,
+            upper_rows_hint=hint,
         )
+
+        # a watermark-skipped merge ran no job over this batch, so the
+        # observation never latched — compute the DLQ count directly
+        # (redelivery-only path; correctness over job count here)
+        n_dlq = holder.get("n_dlq", 0)
+        if stats.get("skipped") and self.dead_letter is not None:
+            n_dlq = tagged.filter(F.col("error_reason").isNotNull()).count()
 
         # dead-letter routing (failure relationship). Runs even when the
         # merge was watermark-skipped: a crash between the merge commit

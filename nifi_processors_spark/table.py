@@ -220,6 +220,24 @@ class TransactionalTable:
         return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
 
     @staticmethod
+    def footer_row_estimate(df: DataFrame) -> int | None:
+        """Exact row count from parquet footers for bare-scan,
+        file-backed frames — a few ms on the driver, no Spark job.
+        Returns None when the plan filters/expands rows (footer counts
+        would overcount) or the inputs aren't parquet."""
+        try:
+            import pyarrow.parquet as _pq
+
+            paths = [
+                p[7:] if p.startswith("file://") else p for p in df.inputFiles()
+            ]
+            if paths and TransactionalTable._is_bare_scan(df):
+                return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+        except Exception:
+            pass
+        return None
+
+    @staticmethod
     def _is_bare_scan(df: DataFrame) -> bool:
         """True iff the optimized logical plan contains only
         row-count-preserving nodes (scan + projection) — the only case
@@ -246,6 +264,7 @@ class TransactionalTable:
         lineage_fn=None,
         retries: int = 4,
         backoff_ms: int = 50,
+        upper_rows_hint: int | None = None,
     ) -> dict:
         """Apply one micro-batch of change events (op/conv_id/turn_idx/
         payload/ts/seq) with LWW semantics. Idempotent per
@@ -265,6 +284,7 @@ class TransactionalTable:
                 return self._merge_once(
                     batch_df, source_id, batch_id, lineage_df, extra_stats,
                     broadcast_threshold, lineage_fn, attempt_history=history,
+                    upper_rows_hint=upper_rows_hint,
                 )
             except ConcurrentCommitError as e:
                 if attempt == retries:
@@ -282,6 +302,7 @@ class TransactionalTable:
     def _merge_once(
         self, batch_df, source_id, batch_id, lineage_df, extra_stats,
         broadcast_threshold=2_000_000, lineage_fn=None, attempt_history=None,
+        upper_rows_hint=None,
     ):
         m = self.manifest()
         wm = m["watermarks"].get(source_id)
@@ -351,25 +372,19 @@ class TransactionalTable:
         # sizes estimate rows on the driver. A clearly-bulk batch
         # skips the exact pre-count entirely — at bulk spread every
         # bucket is touched anyway, and the saved job is a full scan.
-        est_rows = None
-        try:
-            import pyarrow.parquet as _pq
+        # exact footer estimate exists only for bare-scan file-backed
+        # batches (a filtered view of a big file would overcount,
+        # misreport n_upserts, and wrongly push small batches onto the
+        # all-buckets bulk path, defeating file pruning). The caller's
+        # upper_rows_hint (e.g. footer rows of the raw pre-validation
+        # stream batch) is an upper bound usable ONLY to pick the bulk
+        # path when it is clearly large.
+        est_rows = self.footer_row_estimate(batch_df)
+        bulk_cutoff = max(broadcast_threshold, 8 * n_buckets * 1000)
+        if est_rows is None and upper_rows_hint is not None and upper_rows_hint > bulk_cutoff:
+            est_rows = upper_rows_hint
 
-            paths = [p[7:] if p.startswith("file://") else p
-                     for p in batch_df.inputFiles()]
-            # only trust the footer estimate when the batch plan is a
-            # bare scan (row-preserving nodes only): a filtered view of
-            # a big file would otherwise overcount, misreport
-            # n_upserts, and wrongly push small batches onto the
-            # all-buckets bulk path (defeating file pruning)
-            if paths and self._is_bare_scan(batch_df):
-                # exact row counts from parquet footers — a few ms per
-                # file on the driver, no Spark job
-                est_rows = sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
-        except Exception:
-            est_rows = None
-
-        if est_rows is not None and est_rows > max(broadcast_threshold, 8 * n_buckets * 1000):
+        if est_rows is not None and est_rows > bulk_cutoff:
             n_batch = est_rows
             affected = list(range(n_buckets))
         else:
@@ -503,25 +518,47 @@ class TransactionalTable:
 
         # --- lineage files (atomic with the data commit). lineage_fn
         # runs AFTER the data write (so Observation metrics that piggy-
-        # backed on the merge's own scan are available — zero extra
-        # jobs) but BEFORE the manifest commit (atomicity).
-        if lineage_fn is not None and lineage_df is None:
-            lineage_df = lineage_fn()
+        # backed on the merge's own jobs are latched — zero extra jobs)
+        # but BEFORE the manifest commit (atomicity). A lineage_fn that
+        # raises (e.g. fail-on-dead-letter) aborts the commit with
+        # nothing made visible; this attempt's data dir is removed.
         lineage_files = list(m.get("lineage_files", []))
         lin_rel = None
-        if lineage_df is not None:
-            lin_rel = os.path.join(
-                "lineage", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
-            )
-            lineage_df.coalesce(1).write.mode("errorifexists").parquet(
-                os.path.join(self.path, lin_rel)
-            )
-            for root, _dirs, files in os.walk(os.path.join(self.path, lin_rel)):
-                for fn in files:
-                    if fn.endswith(".parquet"):
-                        lineage_files.append(
-                            os.path.relpath(os.path.join(root, fn), self.path)
-                        )
+        try:
+            if lineage_fn is not None and lineage_df is None:
+                lineage_df = lineage_fn()
+            if lineage_df is not None:
+                lin_rel = os.path.join(
+                    "lineage", f"commit-{version:012d}-{uuid.uuid4().hex[:8]}"
+                )
+                if isinstance(lineage_df, DataFrame):
+                    lineage_df.coalesce(1).write.mode("errorifexists").parquet(
+                        os.path.join(self.path, lin_rel)
+                    )
+                    for root, _dirs, files in os.walk(
+                        os.path.join(self.path, lin_rel)
+                    ):
+                        for fn in files:
+                            if fn.endswith(".parquet"):
+                                lineage_files.append(
+                                    os.path.relpath(
+                                        os.path.join(root, fn), self.path
+                                    )
+                                )
+                else:
+                    # plain rows (list[dict]) from driver-side metrics:
+                    # write the handful of lineage rows with pyarrow
+                    # directly — no Spark job for a few rows
+                    rel = self._write_lineage_rows(lineage_df, lin_rel)
+                    if rel is not None:
+                        lineage_files.append(rel)
+                    else:
+                        lin_rel = None
+        except Exception:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            if lin_rel is not None:
+                shutil.rmtree(os.path.join(self.path, lin_rel), ignore_errors=True)
+            raise
 
         watermarks = dict(m["watermarks"])
         watermarks[source_id] = batch_id
@@ -562,6 +599,40 @@ class TransactionalTable:
                 shutil.rmtree(os.path.join(self.path, lin_rel), ignore_errors=True)
             raise
         return {"skipped": False, "version": version, **stats}
+
+    def _write_lineage_rows(self, rows: list[dict], lin_rel: str) -> str | None:
+        """Driver-side parquet write of a handful of lineage rows
+        (LINEAGE_SCHEMA-shaped dicts) — Spark's vectorized reader reads
+        it back like any executor-written file. Returns the file's
+        table-relative path, or None for empty input."""
+        if not rows:
+            return None
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_schema = pa.schema(
+            [
+                ("source_id", pa.string()),
+                ("batch_id", pa.int64()),
+                ("shard", pa.int32()),
+                ("first_seq", pa.int64()),
+                ("last_seq", pa.int64()),
+                ("n_events", pa.int64()),
+                ("n_dead_letter", pa.int64()),
+                ("max_lag_ms", pa.int64()),
+            ]
+        )
+        out_dir = os.path.join(self.path, lin_rel)
+        os.makedirs(out_dir, exist_ok=True)
+        rel = os.path.join(lin_rel, "part-00000.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{k: r.get(k) for k in pa_schema.names} for r in rows],
+                schema=pa_schema,
+            ),
+            os.path.join(self.path, rel),
+        )
+        return rel
 
     # ----------------------------------------------------- maintenance
 
