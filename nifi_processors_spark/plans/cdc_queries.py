@@ -270,6 +270,81 @@ SELECT shard, max(record_number) AS max_record_number,
 FROM e GROUP BY shard
 """
 
+def cdc_tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming windows: the ACTUAL tumbling-window operator
+    (streaming/windows.py tumbling_event_stats — watermark + window
+    aggregate; watermark is a no-op in bounded mode) applied to the
+    derived stream, exported as epoch-micro window bounds."""
+    from nifi_processors_spark.streaming.windows import tumbling_event_stats
+
+    w = tumbling_event_stats(_ce(spark, sf_dir), window="1 minute")
+    return w.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "shard", "n_events", "first_seq", "last_seq", "n_deletes",
+    )
+
+
+CDC_TUMBLING_ORACLE = f"""
+WITH ce AS ({render(CDC_BASE_TPL, 'duckdb')}),
+w AS (
+  SELECT (epoch_us(ts) // 60000000) * 60000000 AS ws, *
+  FROM ce
+)
+SELECT ws AS window_start_us, ws + 60000000 AS window_end_us, shard,
+       count(*) AS n_events, min(seq) AS first_seq, max(seq) AS last_seq,
+       cast(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS bigint) AS n_deletes
+FROM w GROUP BY ws, shard
+"""
+
+
+def cdc_session_window_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 session windows: the ACTUAL session-window operator
+    (streaming/windows.py conversation_sessions — built-in
+    session_window, 30-minute gap) over the derived stream."""
+    from nifi_processors_spark.streaming.windows import conversation_sessions
+
+    s = conversation_sessions(_ce(spark, sf_dir), gap="30 minutes")
+    return s.select(
+        "conv_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_turns", "first_turn", "last_turn",
+    )
+
+
+#: session semantics mirrored as the lag/cumsum pattern: a new session
+#: starts when the gap since the previous event exceeds 30 min; the
+#: session end is last-event + gap (Spark's session_window contract)
+CDC_SESSION_ORACLE = f"""
+WITH ce AS ({render(CDC_BASE_TPL, 'duckdb')}),
+x AS (
+  SELECT conv_id, turn_idx, ts, seq,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, seq) AS prev
+  FROM ce
+),
+y AS (
+  SELECT conv_id, turn_idx, ts, seq,
+         CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM x
+),
+z AS (
+  SELECT conv_id, turn_idx, ts,
+         sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM y
+)
+SELECT conv_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800000000 AS session_end_us,
+       count(*) AS n_turns,
+       min(turn_idx) AS first_turn,
+       max(turn_idx) AS last_turn
+FROM z GROUP BY conv_id, sid
+"""
+
 #: name → (spark_fn, oracle_sql) registry for this module
 QUERIES = {
     "cdc_lww_replay": (cdc_lww_replay, _FINAL_STATE_ORACLE),
@@ -280,4 +355,6 @@ QUERIES = {
     "cdc_hot_key_topn": (cdc_hot_key_topn, CDC_HOT_KEY_ORACLE),
     "cdc_salt_distribution": (cdc_salt_distribution, CDC_SALT_ORACLE),
     "cdc_enrich_attributes": (cdc_enrich_attributes, CDC_ENRICH_ORACLE),
+    "cdc_tumbling_window_stats": (cdc_tumbling_window_stats, CDC_TUMBLING_ORACLE),
+    "cdc_session_window_turns": (cdc_session_window_turns, CDC_SESSION_ORACLE),
 }

@@ -127,6 +127,43 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24
 """
 
+#: Q10-style: returned-item revenue per customer (4-way join +
+#: group-by + rounded-alias ordering with total-order tie-break)
+Q10_TPL = """
+SELECT c_custkey, c_name,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                           AS decimal(18,4))) AS double), 2) AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+#: Q18-style: large-volume orders (correlated IN over a grouped
+#: HAVING subquery — semi-join after aggregation)
+Q18_TPL = """
+SELECT c_custkey, c_name, o_orderkey, @TS_US(o_orderdate)@ AS orderdate_us,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
 #: Q12-style: join + conditional (CASE) aggregation by priority class
 Q12_TPL = """
 SELECT l_linestatus,
@@ -279,13 +316,29 @@ SELECT doc_id,
 FROM {e} GROUP BY doc_id
 """
 
+#: Hot-bucket guard: band membership is capped at {cap} docs
+#: (deterministic doc_id order) BEFORE the candidate self-join. A
+#: viral cluster of near-identical docs lands in one band bucket;
+#: uncapped, its candidate pairs are O(n²) within the bucket — the
+#: one structural 100 TB scale-killer in banded LSH. With the cap,
+#: pairs per bucket are bounded by cap²/2; compose exact-dedup first
+#: (doc_dedup_exact) so capped members are true near-dups, not exact
+#: copies. The cap is far above any bucket population at tested
+#: scales, so uncontended results are unchanged.
 MH_REST_TPL = """
-WITH bands AS (
+WITH bands_raw AS (
   SELECT doc_id, 'b0|' || m0 || '_' || m1 AS bk FROM {sig}
   UNION ALL
   SELECT doc_id, 'b1|' || m2 || '_' || m3 FROM {sig}
   UNION ALL
   SELECT doc_id, 'b2|' || m4 || '_' || m5 FROM {sig}
+),
+bands AS (
+  SELECT doc_id, bk FROM (
+    SELECT doc_id, bk,
+           row_number() OVER (PARTITION BY bk ORDER BY doc_id) AS rk
+    FROM bands_raw
+  ) t WHERE rk <= {cap}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -307,25 +360,48 @@ WHERE cast(i.ni AS double) / (sa.n + sb.n - i.ni) >= 0.5
 """
 
 
-def _minhash_oracle() -> str:
-    e = MH_E_TPL.format(corpus=_DOC_CORPUS)
+#: corpus with an injected HOT near-duplicate cluster: 1,000 copies
+#: of the first document — the adversarial input for the band-bucket
+#: cap (a viral dup cluster that would be quadratic uncapped)
+_DOC_HOT_CORPUS = """
+  SELECT doc_id, lower(trim(text)) AS text FROM documents
+  UNION ALL
+  SELECT 2000000 + n AS doc_id, d.text
+  FROM (SELECT lower(trim(text)) AS text FROM documents
+        WHERE doc_id = (SELECT min(doc_id) FROM documents)) d
+  CROSS JOIN (SELECT @EXPLODE(@SEQ(1; 1000)@)@ AS n) nums
+"""
+
+
+def _minhash_oracle(corpus: str, cap: int) -> str:
+    e = MH_E_TPL.format(corpus=corpus)
     return render(
         f"WITH e AS ({e}), sig AS ({MH_SIG_TPL.format(e='e')})\n"
-        + MH_REST_TPL.format(e="e", sig="sig").replace("WITH bands", ", bands", 1),
+        + MH_REST_TPL.format(e="e", sig="sig", cap=cap).replace(
+            "WITH bands_raw", ", bands_raw", 1
+        ),
         "duckdb",
     )
 
 
-def _minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same fragments as the oracle, staged: the shingle set (e) and
-    signatures (sig) are computed once and cached instead of being
-    recomputed per CTE reference."""
-    load_tables(spark, sf_dir, ["documents"])
-    e = spark.sql(render(MH_E_TPL.format(corpus=_DOC_CORPUS), "spark"))
-    e.persist().createOrReplaceTempView("mh_e")
-    sig = spark.sql(render(MH_SIG_TPL.format(e="mh_e"), "spark"))
-    sig.persist().createOrReplaceTempView("mh_sig")
-    return spark.sql(render(MH_REST_TPL.format(e="mh_e", sig="mh_sig"), "spark"))
+def _make_minhash_spark(corpus: str, cap: int, tag: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same fragments as the oracle, staged: the shingle set (e)
+        and signatures (sig) are computed once and cached instead of
+        being recomputed per CTE reference."""
+        load_tables(spark, sf_dir, ["documents"])
+        e = spark.sql(render(MH_E_TPL.format(corpus=corpus), "spark"))
+        e.persist().createOrReplaceTempView(f"mh_e_{tag}")
+        sig = spark.sql(render(MH_SIG_TPL.format(e=f"mh_e_{tag}"), "spark"))
+        sig.persist().createOrReplaceTempView(f"mh_sig_{tag}")
+        return spark.sql(
+            render(
+                MH_REST_TPL.format(e=f"mh_e_{tag}", sig=f"mh_sig_{tag}", cap=cap),
+                "spark",
+            )
+        )
+
+    return fn
 
 #: 16-bit SimHash per document from distinct-token md5 hashes.
 #: Single-pass: the 16 bit-majority votes are 16 conditional-sum
@@ -459,9 +535,20 @@ def _emb_ann_pairs_tpl() -> tuple[str, list]:
         f"(CASE WHEN @DOT(embedding; __ARR{h}__)@ >= 0 THEN {1 << h} ELSE 0 END)"
         for h, _, _ in bits
     )
+    # hot-bucket guard (same rationale as the MinHash band cap): bucket
+    # membership bounded deterministically before the per-bucket
+    # self-join, so a cluster of near-identical embeddings cannot go
+    # quadratic within its hyperplane bucket at scale
     tpl = f"""
-WITH b AS (
+WITH b_raw AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+b AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT vec_id, embedding, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+    FROM b_raw
+  ) t WHERE rk <= 128
 ),
 cand AS (
   SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
@@ -507,6 +594,8 @@ _TEMPLATED = {
     "topk_orders_per_priority": (TOPK_PER_GROUP_TPL, ["orders"]),
     "orders_rollup": (ORDERS_ROLLUP_TPL, ["orders"]),
     "q6_forecast_revenue": (Q6_TPL, ["lineitem"]),
+    "q10_returned_items": (Q10_TPL, ["customer", "orders", "lineitem", "nation"]),
+    "q18_large_orders": (Q18_TPL, ["customer", "orders", "lineitem"]),
     "q12_priority_lines": (Q12_TPL, ["orders", "lineitem"]),
     "events_type_pivot": (EVENTS_PIVOT_TPL, ["events"]),
     "events_sessionize": (SESSIONIZE_TPL, ["events"]),
@@ -541,5 +630,14 @@ QUERIES = {
     for name, (tpl, tables) in _TEMPLATED.items()
 }
 QUERIES["emb_lsh_buckets"] = (_emb_lsh_spark, _render_emb_lsh("duckdb"))
-QUERIES["doc_dedup_minhash_lsh"] = (_minhash_spark, _minhash_oracle())
+QUERIES["doc_dedup_minhash_lsh"] = (
+    _make_minhash_spark(_DOC_CORPUS, cap=64, tag="base"),
+    _minhash_oracle(_DOC_CORPUS, cap=64),
+)
+#: adversarial hot-cluster variant: 1,000 injected copies of one doc
+#: must stay bounded by the band-bucket cap (cap²/2 pairs, not n²/2)
+QUERIES["doc_dedup_minhash_hotcap"] = (
+    _make_minhash_spark(render(_DOC_HOT_CORPUS, "spark"), cap=40, tag="hot"),
+    _minhash_oracle(render(_DOC_HOT_CORPUS, "duckdb"), cap=40),
+)
 QUERIES["emb_lsh_ann_pairs"] = (_emb_ann_pairs_spark, _render_emb_ann_pairs("duckdb"))

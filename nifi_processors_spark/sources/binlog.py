@@ -15,11 +15,47 @@ makes pre-evolution segments (missing ``tool``) readable mid-stream
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nifi_processors_spark.config import EngineConfig
 from nifi_processors_spark.schema import CHANGE_EVENTS_SCHEMA
+
+
+def _latest_snapshot(
+    spark: SparkSession, config: EngineConfig, schema: T.StructType
+) -> dict[int, int]:
+    """Per-shard high-water seq at FIRST stream start — the LATEST
+    position (≙ ACP:85-92, applied GET:157-159: start at the shard's
+    current tip, not the trim horizon). The snapshot is persisted next
+    to the checkpoint so a resumed stream keeps the ORIGINAL position
+    (initial position only applies when no checkpoint exists, exactly
+    like the KCL lease table) instead of re-snapshotting and silently
+    skipping events that arrived while the consumer was down."""
+    snap_path = os.path.join(
+        config.checkpoint_dir, "initial_position_snapshot.json"
+    )
+    if os.path.exists(snap_path):
+        with open(snap_path) as f:
+            return {int(k): int(v) for k, v in json.load(f).items()}
+    try:
+        base = read_binlog_batch(
+            spark, config.binlog_dir, schema, config.binlog_format
+        )
+        rows = base.groupBy("shard").agg(F.max("seq").alias("mx")).collect()
+        snap = {int(r["shard"]): int(r["mx"]) for r in rows}
+    except Exception:
+        snap = {}  # empty/nonexistent binlog: nothing to skip
+    os.makedirs(config.checkpoint_dir, exist_ok=True)
+    tmp = snap_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, snap_path)
+    return snap
 
 
 def read_binlog_stream(
@@ -30,26 +66,38 @@ def read_binlog_stream(
     """Structured Streaming tail of the binlog directory.
 
     ``initial_position='earliest'`` ≙ TRIM_HORIZON (ACP:85-92): replay
-    from the start of the retained log. ``'latest'`` (≙ LATEST) is not
-    supported by Spark's file source semantics (it always admits
-    existing files); callers wanting latest semantics should start the
-    stream against a fresh/compacted binlog directory.
+    from the start of the retained log. ``'latest'`` ≙ LATEST: only
+    events appended after the stream first started are admitted — the
+    pre-existing per-shard high-water seqs are snapshotted once
+    (persisted with the checkpoint) and rows at-or-below them are
+    filtered vectorized. Scale note: the filter is a broadcast map
+    literal of n_shards entries evaluated JVM-side; pre-existing
+    segment FILES are still listed/scanned once by the source, so
+    pair with binlog retention/compaction for very old logs.
     """
-    if config.initial_position != "earliest":
-        raise NotImplementedError(
-            "file-tail source replays from earliest (TRIM_HORIZON); "
-            "for latest semantics point the stream at a fresh binlog dir"
-        )
+    schema = schema or CHANGE_EVENTS_SCHEMA
     reader = (
-        spark.readStream.schema(schema or CHANGE_EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", config.max_files_per_trigger)
     )
     if config.binlog_format == "json":
         # JSON-lines segments (Debezium-style wire format); the
         # declared schema avoids inference and tolerates missing
         # (pre-evolution) fields exactly like the parquet path
-        return reader.json(config.binlog_dir)
-    return reader.parquet(config.binlog_dir)
+        stream = reader.json(config.binlog_dir)
+    else:
+        stream = reader.parquet(config.binlog_dir)
+    if config.initial_position == "latest":
+        snap = _latest_snapshot(spark, config, schema)
+        if snap:
+            hw_map = F.create_map(
+                *[F.lit(x) for kv in snap.items() for x in kv]
+            )
+            stream = stream.filter(
+                F.col("seq")
+                > F.coalesce(hw_map[F.col("shard")], F.lit(-(2**62)))
+            )
+    return stream
 
 
 def read_binlog_batch(

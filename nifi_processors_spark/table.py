@@ -220,6 +220,34 @@ class TransactionalTable:
         return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
 
     @staticmethod
+    def _file_key_stats(abs_path: str, key_col: str):
+        """(min, max) of ``key_col`` from the file's parquet footer
+        statistics — driver-side, a few ms, no Spark job. Returns
+        (None, None) when stats are unavailable (never prune then).
+        At cluster scale these stats would be collected executor-side
+        during the write (as Iceberg does); the manifest format is the
+        same either way."""
+        try:
+            import pyarrow.parquet as _pq
+
+            md = _pq.ParquetFile(abs_path).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }.get(key_col)
+            if idx is None:
+                return None, None
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None, None
+                mins.append(st.min)
+                maxs.append(st.max)
+            return (min(mins), max(maxs)) if mins else (None, None)
+        except Exception:
+            return None, None
+
+    @staticmethod
     def footer_row_estimate(df: DataFrame) -> int | None:
         """Exact row count from parquet footers for bare-scan,
         file-backed frames — a few ms on the driver, no Spark job.
@@ -384,22 +412,55 @@ class TransactionalTable:
         if est_rows is None and upper_rows_hint is not None and upper_rows_hint > bulk_cutoff:
             est_rows = upper_rows_hint
 
+        key0 = key_cols[0]
+        bucket_ranges: dict[int, tuple] = {}
         if est_rows is not None and est_rows > bulk_cutoff:
             n_batch = est_rows
             affected = list(range(n_buckets))
         else:
             # one light job (map-side-combined count) yields the batch
-            # size and the touched-bucket set (path choice + pruning)
+            # size, the touched-bucket set (path choice + pruning) AND
+            # each bucket's key range (intra-bucket file pruning)
             bucket_counts = (
-                up.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+                up.groupBy("_bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(key0).alias("kmin"),
+                    F.max(key0).alias("kmax"),
+                )
+                .collect()
             )
             n_batch = sum(r["n"] for r in bucket_counts)
             affected = sorted(r["_bucket"] for r in bucket_counts)
+            bucket_ranges = {
+                r["_bucket"]: (r["kmin"], r["kmax"])
+                for r in bucket_counts
+                if r["kmin"] is not None
+            }
         affected_set = set(affected)
 
         old_files = m["files"]
-        touched = [f for f in old_files if f["bucket"] in affected_set]
-        kept = [f for f in old_files if f["bucket"] not in affected_set]
+        # file-level pruning, two tiers: (1) untouched buckets are
+        # never read or rewritten; (2) within a touched bucket, a file
+        # whose manifest [min_key, max_key] is disjoint from the
+        # batch's key range for that bucket cannot contain any batch
+        # key (ranges are on the leading key column) — keep it as-is.
+        touched, kept = [], []
+        for f in old_files:
+            if f["bucket"] not in affected_set:
+                kept.append(f)
+                continue
+            rng = bucket_ranges.get(f["bucket"])
+            fmin, fmax = f.get("min_key"), f.get("max_key")
+            if (
+                rng is not None
+                and fmin is not None
+                and fmax is not None
+                and (fmax < rng[0] or fmin > rng[1])
+            ):
+                kept.append(f)
+            else:
+                touched.append(f)
 
         existing = None
         if touched:
@@ -512,9 +573,14 @@ class TransactionalTable:
         for root, _dirs, files in os.walk(commit_dir):
             for fn in files:
                 if fn.endswith(".parquet"):
-                    rel = os.path.relpath(os.path.join(root, fn), self.path)
+                    abs_p = os.path.join(root, fn)
+                    rel = os.path.relpath(abs_p, self.path)
                     bucket = int(root.rsplit("_bucket=", 1)[1])
-                    new_files.append({"path": rel, "bucket": bucket})
+                    kmin, kmax = self._file_key_stats(abs_p, key0)
+                    entry = {"path": rel, "bucket": bucket}
+                    if kmin is not None:
+                        entry["min_key"], entry["max_key"] = kmin, kmax
+                    new_files.append(entry)
 
         # --- lineage files (atomic with the data commit). lineage_fn
         # runs AFTER the data write (so Observation metrics that piggy-
@@ -677,10 +743,13 @@ class TransactionalTable:
         for root, _dirs, files in os.walk(commit_dir):
             for fn in files:
                 if fn.endswith(".parquet"):
-                    rel = os.path.relpath(os.path.join(root, fn), self.path)
-                    new_files.append(
-                        {"path": rel, "bucket": int(root.rsplit("_bucket=", 1)[1])}
-                    )
+                    abs_p = os.path.join(root, fn)
+                    rel = os.path.relpath(abs_p, self.path)
+                    kmin, kmax = self._file_key_stats(abs_p, m["key_cols"][0])
+                    entry = {"path": rel, "bucket": int(root.rsplit("_bucket=", 1)[1])}
+                    if kmin is not None:
+                        entry["min_key"], entry["max_key"] = kmin, kmax
+                    new_files.append(entry)
         kept = [f for f in m["files"] if f["bucket"] not in frag]
         manifest = {
             **m,

@@ -148,6 +148,108 @@ def test_dlq_append_survives_merge_watermark_skip(spark, tmp_path):
     assert p.dead_letter.read().count() == 1
 
 
+def test_min_max_key_stats_prune_files_within_bucket(spark, tmp_table_path):
+    """Manifest min/max key stats: a small merge whose key range is
+    disjoint from a file's range skips that file even when they share
+    a bucket — strictly fewer files read/rewritten than the bucket
+    holds, and the final state stays correct."""
+
+    import datetime
+
+    def batch(conv, text, seq, ts="2024-01-01"):
+        return spark.createDataFrame(
+            [("I", conv, 0, "user", text, None,
+              datetime.datetime.fromisoformat(ts), seq, 0)],
+            "op string, conv_id string, turn_idx int, role string, "
+            "text string, tool string, ts timestamp, seq long, shard int",
+        )
+
+    t = make_table(spark, tmp_table_path, n_buckets=1)  # one bucket: all
+    t.merge(batch("conv-aaa", "first", 1), "s", 0)
+    m1 = t.manifest()
+    assert all("min_key" in f for f in m1["files"])  # stats recorded
+
+    # disjoint key range: the aaa file must be pruned, not rewritten
+    r2 = t.merge(batch("conv-zzz", "second", 2), "s", 1)
+    assert r2["files_rewritten"] == 0
+    m2 = t.manifest()
+    assert {f["path"] for f in m1["files"]} <= {f["path"] for f in m2["files"]}
+    assert len(m2["files"]) > len(m1["files"])  # bucket now has 2+ files
+
+    # overlapping range: only the matching file is rewritten
+    r3 = t.merge(batch("conv-aaa", "updated", 3, ts="2024-02-01"), "s", 2)
+    assert r3["files_rewritten"] < len(m2["files"])
+    out = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert out == {"conv-aaa": "updated", "conv-zzz": "second"}
+
+
+def _write_segment(pdf, path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("op", pa.string()), ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()), ("role", pa.string()),
+            ("text", pa.string()), ("tool", pa.string()),
+            ("ts", pa.timestamp("us")), ("seq", pa.int64()),
+            ("shard", pa.int32()), ("arrival_ts", pa.timestamp("us")),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path
+    )
+
+
+def test_latest_initial_position_skips_preexisting(spark, tmp_path):
+    """initial_position='latest' ≙ Kinesis LATEST (ACP:85-92): events
+    already in the binlog when the stream first starts are skipped;
+    events appended afterwards flow. The snapshot persists with the
+    checkpoint, so a later run does NOT re-snapshot (no event loss)."""
+    from nifi_processors_spark.synth import make_fixture
+
+    binlog = str(tmp_path / "binlog")
+    ev, _expected, _ = make_fixture(
+        binlog,
+        SynthSpec(n_conversations=30, turns_per_conv=4, n_shards=3, seed=9,
+                  segments_per_shard=2),
+    )
+    cfg = EngineConfig(
+        binlog_dir=binlog,
+        table_path=str(tmp_path / "t"),
+        dead_letter_path=str(tmp_path / "dlq"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        n_buckets=4,
+        initial_position="latest",
+    )
+    p = CdcPipeline(spark, cfg)
+    p.run_once()
+    assert p.table.read().count() == 0  # everything pre-existing skipped
+
+    # events appended AFTER stream start must flow on the same checkpoint
+    max_seq = int(ev["seq"].max())
+    import os
+
+    new = pd.DataFrame(
+        {
+            "op": ["I", "I"],
+            "conv_id": ["conv-new", "conv-new"],
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["user", "assistant"],
+            "text": ["hello", "world"],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2031-01-01", "2031-01-02"]).astype("datetime64[us]"),
+            "seq": pd.array([max_seq + 1, max_seq + 2], dtype="int64"),
+            "shard": pd.array([0, 0], dtype="int32"),
+            "arrival_ts": pd.to_datetime(["2031-01-02"] * 2).astype("datetime64[us]"),
+        }
+    )
+    _write_segment(new, os.path.join(binlog, "seg-9999999999-shard000-new.parquet"))
+    p.run_once()
+    out = p.table.read().toPandas()
+    assert set(out["conv_id"]) == {"conv-new"} and len(out) == 2
+
+
 def test_footer_estimate_gated_to_bare_scans(spark, tmp_path, tmp_table_path):
     """A filtered view of a big file must NOT inherit the file's footer
     row count: n_upserts reflects actual rows and the merge stays on
