@@ -59,6 +59,12 @@ class EngineConfig:
     commit_retries: int = 4  # ≙ KCL/KPL retry policy ACP:181-188
     commit_retry_backoff_ms: int = 500  # ≙ task backoff ACP:181-188
 
+    # max applied change-events per second across the stream; 0 =
+    # unlimited. ≙ the producer's RateLimit property (APP:150-159,
+    # applied PUT:181): the micro-batch is paced AFTER its commit so
+    # downstream consumers see at most this sustained apply rate.
+    put_rate_limit_events_per_sec: int = 0
+
     # --- skew handling (≙ random-key load spreading PUT:264-269) ---
     salt_buckets: int = 8
     hot_key_threshold: int = 1_000_000  # events/key/batch before salting
@@ -105,6 +111,7 @@ class EngineConfig:
             ("n_buckets", 1, 1_000_000),
             ("salt_buckets", 1, 65_536),
             ("commit_retries", 0, 100),
+            ("put_rate_limit_events_per_sec", 0, 1_000_000_000),
             ("shuffle_partitions", 1, 1_000_000),
             ("trigger_interval_ms", 0, 86_400_000),
         ]:

@@ -91,6 +91,9 @@ class CdcPipeline:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
         """The foreachBatch body. Idempotent per (source_id, batch_id)."""
+        import time as _time
+
+        batch_t0 = _time.monotonic()
         cfg = self.config
         if cfg.skip_empty_batches and not batch_df.inputFiles() and batch_df.isEmpty():
             # ≙ withCallProcessRecordsEvenForEmptyRecordList(false)
@@ -238,6 +241,17 @@ class CdcPipeline:
                 retries=cfg.commit_retries,
                 backoff_ms=cfg.commit_retry_backoff_ms,
             )
+        # put-side rate limit (≙ RateLimit APP:150-159, applied
+        # PUT:181): pace the trigger so the sustained apply rate stays
+        # at or below the configured events/sec — a driver-side sleep,
+        # no per-record cost. Skipped batches applied nothing.
+        if cfg.put_rate_limit_events_per_sec > 0 and not stats.get("skipped"):
+            applied = int(stats.get("n_upserts") or 0)
+            min_elapsed = applied / cfg.put_rate_limit_events_per_sec
+            remaining = min_elapsed - (_time.monotonic() - batch_t0)
+            if remaining > 0:
+                _time.sleep(remaining)
+
         stats = {**stats, "n_dead_letter": n_dlq}
         self.last_batch_stats = stats
         return stats

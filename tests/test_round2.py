@@ -183,6 +183,36 @@ def test_min_max_key_stats_prune_files_within_bucket(spark, tmp_table_path):
     assert out == {"conv-aaa": "updated", "conv-zzz": "second"}
 
 
+def test_put_rate_limit_paces_batches(spark, tmp_path):
+    """put_rate_limit_events_per_sec ≙ the producer RateLimit
+    property: the sustained apply rate stays at or below the limit."""
+    import time
+
+    from nifi_processors_spark.synth import make_fixture
+
+    binlog = str(tmp_path / "binlog")
+    ev, _expected, _ = make_fixture(
+        binlog,
+        SynthSpec(n_conversations=40, turns_per_conv=4, n_shards=2, seed=3,
+                  segments_per_shard=1),
+    )
+    cfg = EngineConfig(
+        binlog_dir=binlog,
+        table_path=str(tmp_path / "t"),
+        dead_letter_path=str(tmp_path / "dlq"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        n_buckets=4,
+        put_rate_limit_events_per_sec=max(len(ev) // 2, 1),  # force pacing
+    )
+    p = CdcPipeline(spark, cfg)
+    t0 = time.monotonic()
+    p.run_once()
+    elapsed = time.monotonic() - t0
+    n = p.table.read(include_deleted=True, include_internal=True).count()
+    assert elapsed >= len(ev) / cfg.put_rate_limit_events_per_sec * 0.8
+    assert n > 0  # limit paces, it does not drop
+
+
 def _write_segment(pdf, path):
     import pyarrow as pa
     import pyarrow.parquet as pq
