@@ -23,9 +23,11 @@ class ConfigError(ValueError):
 INITIAL_POSITIONS = ("latest", "earliest")
 
 #: Merge write strategies. ``copy-on-write`` rewrites touched buckets
-#: per batch (read-optimized); at higher update rates a merge-on-read
-#: design would append delta files instead — documented trade-off.
-MERGE_STRATEGIES = ("copy-on-write",)
+#: per batch (read-optimized — steady state for read-heavy
+#: transcripts); ``merge-on-read`` appends LWW-deduped delta files —
+#: O(batch) writes with zero reads of existing data, winners resolved
+#: at read time, folded back into base files by compact().
+MERGE_STRATEGIES = ("copy-on-write", "merge-on-read")
 
 
 @dataclass

@@ -105,6 +105,27 @@ def cdc_merge_full_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_projection(table.read())
 
 
+def cdc_merge_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 merge-on-read strategy: the same full replay applied as
+    delta-append merges (O(batch) writes, zero reads of existing
+    data), then MAJOR COMPACTION folding deltas into base files with
+    tombstone expiry, then the committed snapshot. Oracle identical to
+    the copy-on-write replay — both strategies must converge."""
+    from nifi_processors_spark.schema import KEY_COLS, LWW_COLS, TRANSCRIPTS_SCHEMA
+    from nifi_processors_spark.table import TransactionalTable
+
+    ce = _ce(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="nps-merge-mor-"), "t")
+    table = TransactionalTable.create(
+        spark, path, TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS, n_buckets=16,
+        merge_strategy="merge-on-read",
+    )
+    for i in range(4):
+        table.merge(ce.filter(F.pmod(F.col("seq"), F.lit(4)) == i), "replay", i)
+    table.compact(drop_tombstones=True)
+    return _final_projection(table.read())
+
+
 def cdc_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operators §2.4 R1-R3: success/failure routing. Malformations are
     induced deterministically, then the vectorized validator splits the
@@ -270,6 +291,67 @@ SELECT shard, max(record_number) AS max_record_number,
 FROM e GROUP BY shard
 """
 
+#: deterministic PII injection appended to every 7th event's text so
+#: the redaction operator provably fires on all three pattern classes
+_PII_SUFFIX = "' contact user' || seq || '@example.com or 555-123-4567 card 4111111111111111'"
+
+
+def cdc_content_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 T4 content rewrite: the ACTUAL vectorized redaction stage
+    (functions/rewrite.redact_text — JVM regexp_replace chain, the
+    CdcPipeline transform hook) over the derived stream with injected
+    PII; output is per-op counts of each redaction class."""
+    from nifi_processors_spark.functions.rewrite import redact_text
+
+    ce = _ce(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("seq") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), F.col("seq"),
+                F.lit("@example.com or 555-123-4567 card 4111111111111111"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = redact_text(ce)
+    mark = lambda token: F.sum(  # noqa: E731
+        F.col("text").contains(token).cast("long")
+    )
+    return red.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        mark("<EMAIL>").alias("n_email"),
+        mark("<PHONE>").alias("n_phone"),
+        mark("<CARDNUM>").alias("n_card"),
+    )
+
+
+def _rewrite_oracle() -> str:
+    """Oracle built from the SAME REDACTIONS pattern list the operator
+    uses (single source of truth); DuckDB needs the 'g' flag for
+    replace-all (Spark's regexp_replace is always global)."""
+    from nifi_processors_spark.functions.rewrite import REDACTIONS
+
+    expr = "text"
+    for pat, repl in REDACTIONS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH ce AS ({render(CDC_BASE_TPL, 'duckdb')}),
+m AS (
+  SELECT op,
+         CASE WHEN seq % 7 = 0
+              THEN text || {_PII_SUFFIX}
+              ELSE text END AS text
+  FROM ce
+),
+r AS (SELECT op, {expr} AS text FROM m)
+SELECT op, count(*) AS n,
+       cast(sum(CASE WHEN text LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS bigint) AS n_email,
+       cast(sum(CASE WHEN text LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS bigint) AS n_phone,
+       cast(sum(CASE WHEN text LIKE '%<CARDNUM>%' THEN 1 ELSE 0 END) AS bigint) AS n_card
+FROM r GROUP BY op
+"""
+
+
 def cdc_tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 streaming windows: the ACTUAL tumbling-window operator
     (streaming/windows.py tumbling_event_stats — watermark + window
@@ -349,12 +431,14 @@ FROM z GROUP BY conv_id, sid
 QUERIES = {
     "cdc_lww_replay": (cdc_lww_replay, _FINAL_STATE_ORACLE),
     "cdc_merge_full_replay": (cdc_merge_full_replay, _FINAL_STATE_ORACLE),
+    "cdc_merge_mor_replay": (cdc_merge_mor_replay, _FINAL_STATE_ORACLE),
     "cdc_validate_route": (cdc_validate_route, CDC_VALIDATE_ORACLE),
     "cdc_lineage_stats": (cdc_lineage_stats, CDC_LINEAGE_ORACLE),
     "cdc_dedup_exact": (cdc_dedup_exact, CDC_DEDUP_ORACLE),
     "cdc_hot_key_topn": (cdc_hot_key_topn, CDC_HOT_KEY_ORACLE),
     "cdc_salt_distribution": (cdc_salt_distribution, CDC_SALT_ORACLE),
     "cdc_enrich_attributes": (cdc_enrich_attributes, CDC_ENRICH_ORACLE),
+    "cdc_content_rewrite": (cdc_content_rewrite, _rewrite_oracle()),
     "cdc_tumbling_window_stats": (cdc_tumbling_window_stats, CDC_TUMBLING_ORACLE),
     "cdc_session_window_turns": (cdc_session_window_turns, CDC_SESSION_ORACLE),
 }

@@ -292,8 +292,14 @@ _DOC_CORPUS = """
 #: Split into fragments: the oracle composes them as CTEs; the Spark
 #: side executes the SAME fragments staged over CACHED views (Spark
 #: recomputes multiply-referenced CTEs — e is referenced 3×).
+#: each shingle is collapsed to ONE 32-bit md5 id at the source: the
+#: distinct, the 6 minhash aggregates and the intersection join all
+#: work on compact bigints instead of ~30-byte shingle strings (less
+#: shuffle, one md5 over the long string instead of six). Hash
+#: collisions merge shingles IDENTICALLY in both engines (same md5),
+#: so the oracle moves in lockstep.
 MH_E_TPL = """
-SELECT DISTINCT doc_id, s
+SELECT DISTINCT doc_id, @MD5INT(s)@ AS h
 FROM (
   SELECT doc_id, @EXPLODE(sh)@ AS s
   FROM (
@@ -306,12 +312,12 @@ FROM (
 
 MH_SIG_TPL = """
 SELECT doc_id,
-       min(@MD5INT('h0|' || s)@) AS m0,
-       min(@MD5INT('h1|' || s)@) AS m1,
-       min(@MD5INT('h2|' || s)@) AS m2,
-       min(@MD5INT('h3|' || s)@) AS m3,
-       min(@MD5INT('h4|' || s)@) AS m4,
-       min(@MD5INT('h5|' || s)@) AS m5,
+       min(@MD5INT('h0|' || h)@) AS m0,
+       min(@MD5INT('h1|' || h)@) AS m1,
+       min(@MD5INT('h2|' || h)@) AS m2,
+       min(@MD5INT('h3|' || h)@) AS m3,
+       min(@MD5INT('h4|' || h)@) AS m4,
+       min(@MD5INT('h5|' || h)@) AS m5,
        count(*) AS n
 FROM {e} GROUP BY doc_id
 """
@@ -348,7 +354,7 @@ inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ni
   FROM cand c
   JOIN {e} ea ON ea.doc_id = c.doc_a
-  JOIN {e} eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+  JOIN {e} eb ON eb.doc_id = c.doc_b AND eb.h = ea.h
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -580,6 +586,23 @@ def _emb_ann_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_render_emb_ann_pairs("spark"))
 
 
+def _emb_cosine_topk_blocked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matmul-blocked mapInPandas scale path
+    (operators/similarity.cosine_topk_blocked) on the SAME probe set as
+    the SQL baseline — gated against the SAME brute-force oracle, so
+    the Arrow/BLAS path is held to exact SQL semantics."""
+    from pyspark.sql import functions as F
+
+    from nifi_processors_spark.operators.similarity import cosine_topk_blocked
+
+    tables = load_tables(spark, sf_dir, ["embeddings"])
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return cosine_topk_blocked(emb, queries, k=5)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -641,3 +664,8 @@ QUERIES["doc_dedup_minhash_hotcap"] = (
     _minhash_oracle(render(_DOC_HOT_CORPUS, "duckdb"), cap=40),
 )
 QUERIES["emb_lsh_ann_pairs"] = (_emb_ann_pairs_spark, _render_emb_ann_pairs("duckdb"))
+#: the Pandas-UDF/BLAS scale path shares the SQL baseline's oracle
+QUERIES["emb_cosine_topk_blocked"] = (
+    _emb_cosine_topk_blocked_spark,
+    render(EMB_COSINE_TOPK_TPL, "duckdb"),
+)

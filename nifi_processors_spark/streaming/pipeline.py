@@ -70,6 +70,7 @@ class CdcPipeline:
         self.table = self._ensure_table(
             config.table_path, TRANSCRIPTS_SCHEMA, KEY_COLS,
             n_buckets=config.n_buckets,
+            merge_strategy=config.merge_strategy,
         )
         self.dead_letter = (
             self._ensure_table(
@@ -80,11 +81,13 @@ class CdcPipeline:
         )
         self.last_batch_stats: dict = {}
 
-    def _ensure_table(self, path, schema, key_cols, n_buckets):
+    def _ensure_table(self, path, schema, key_cols, n_buckets,
+                      merge_strategy="copy-on-write"):
         if TransactionalTable.exists(self.spark, path):
             return TransactionalTable(self.spark, path)
         return TransactionalTable.create(
-            self.spark, path, schema, key_cols, LWW_COLS, n_buckets=n_buckets
+            self.spark, path, schema, key_cols, LWW_COLS, n_buckets=n_buckets,
+            merge_strategy=merge_strategy,
         )
 
     # ------------------------------------------------------ micro-batch

@@ -75,10 +75,20 @@ class TransactionalTable:
         lww_cols: list[str] | None = None,
         n_buckets: int = 32,
         bucket_cols: list[str] | None = None,
+        merge_strategy: str = "copy-on-write",
     ) -> "TransactionalTable":
         """Create an empty table (v0 manifest). ``bucket_cols``
         defaults to the full key (skew-proof); pass a prefix (e.g.
-        ["conv_id"]) to co-locate conversations instead."""
+        ["conv_id"]) to co-locate conversations instead.
+
+        ``merge_strategy``: ``copy-on-write`` rewrites touched buckets
+        per merge (read-optimized — steady state for read-heavy
+        transcripts); ``merge-on-read`` appends LWW-deduped DELTA
+        files per merge (write-optimized — O(batch) with ZERO reads of
+        existing data) and resolves winners at read time; ``compact()``
+        is the major compaction folding deltas back into base files."""
+        if merge_strategy not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown merge_strategy {merge_strategy!r}")
         t = cls(spark, path)
         os.makedirs(t._log_dir, exist_ok=True)
         if t.current_version() is not None:
@@ -90,6 +100,7 @@ class TransactionalTable:
             "lww_cols": lww_cols or ["ts"],
             "n_buckets": n_buckets,
             "bucket_cols": bucket_cols or list(key_cols),
+            "merge_strategy": merge_strategy,
             "files": [],
             "lineage_files": [],
             "watermarks": {},
@@ -184,6 +195,33 @@ class TransactionalTable:
             # for later-added columns; passing leaf files disables
             # partition-dir inference so no stray _bucket column.
             df = self.spark.read.schema(schema).parquet(*paths)
+        # merge-on-read resolution: when delta files exist, a key may
+        # appear in several files — take the LWW winner per key (same
+        # (lww_cols, _seq) order as the write path) in one shuffle.
+        # Base-only snapshots (copy-on-write, or post-compaction) skip
+        # this entirely — reads stay scan-only.
+        if any(f.get("delta") for f in m["files"]):
+            key_cols = m["key_cols"]
+            lww_order = [
+                ("_seq" if c == "seq" else c)
+                for c in (m.get("lww_cols") or ["ts"])
+            ]
+            if "_seq" not in lww_order:
+                lww_order.append("_seq")
+            non_key = [c for c in df.columns if c not in key_cols]
+            df = (
+                df.groupBy(*key_cols)
+                .agg(
+                    F.expr(
+                        "max_by(struct({cols}), struct({ord}))".format(
+                            cols=", ".join(non_key), ord=", ".join(lww_order)
+                        )
+                    ).alias("_w")
+                )
+                .select(
+                    *key_cols, *[F.col(f"_w.{c}").alias(c) for c in non_key]
+                )
+            )
         if not include_deleted:
             df = df.filter(~F.col("_deleted"))
         if not include_internal:
@@ -440,13 +478,16 @@ class TransactionalTable:
         affected_set = set(affected)
 
         old_files = m["files"]
+        strategy = m.get("merge_strategy", "copy-on-write")
         # file-level pruning, two tiers: (1) untouched buckets are
         # never read or rewritten; (2) within a touched bucket, a file
         # whose manifest [min_key, max_key] is disjoint from the
         # batch's key range for that bucket cannot contain any batch
         # key (ranges are on the leading key column) — keep it as-is.
-        touched, kept = [], []
-        for f in old_files:
+        # merge-on-read touches NOTHING: every existing file is kept
+        # and the batch lands as delta files.
+        touched, kept = [], list(old_files) if strategy == "merge-on-read" else []
+        for f in [] if strategy == "merge-on-read" else old_files:
             if f["bucket"] not in affected_set:
                 kept.append(f)
                 continue
@@ -500,7 +541,23 @@ class TransactionalTable:
         # stacking more copy-on-write generations
         fragmented = touched and len(touched) > 3 * len(affected)
 
-        if existing is not None and n_batch <= broadcast_threshold and not fragmented:
+        if strategy == "merge-on-read":
+            # --- delta-append (write-optimized): LWW-dedupe the batch
+            # and append it bucketed — ONE job over O(batch) rows, no
+            # read/join/rewrite of existing data. Readers resolve
+            # winners (read()); compact() folds deltas into base.
+            merge_path = "delta-append"
+            parts = max(len(affected), 1)
+            if n_batch <= broadcast_threshold:
+                parts = max(1, min(parts, -(-n_batch // 500_000)))
+            (
+                _lww_agg(up.repartition(parts, "_bucket"))
+                .select(*out_cols)
+                .write.partitionBy("_bucket")
+                .mode("errorifexists")
+                .parquet(commit_dir)
+            )
+        elif existing is not None and n_batch <= broadcast_threshold and not fragmented:
             # --- small-batch path (the steady-state CDC case):
             # broadcast the deduped batch against the affected
             # buckets — the big side is scanned in place, NEVER
@@ -539,10 +596,32 @@ class TransactionalTable:
                 .repartition(max(len(affected) // 2, 1), "_bucket")
             )
             # one write job: the cow side keeps its scan
-            # partitioning (no exchange); inserts ride along
-            cow.unionByName(inserts).write.partitionBy("_bucket").mode(
-                "errorifexists"
-            ).parquet(commit_dir)
+            # partitioning (no exchange); inserts ride along.
+            # Output sizing (K3 file aggregation, APP:40-68): when the
+            # rewritten data is small (known from the touched files'
+            # parquet footers — driver-side, no job), coalesce
+            # (narrow, still no exchange) so the steady-state CDC case
+            # emits a few right-sized files instead of one sliver per
+            # scan task — less task-scheduling overhead per batch and
+            # less fragmentation per commit.
+            out = cow.unionByName(inserts)
+            try:
+                import pyarrow.parquet as _pq2
+
+                touched_rows = sum(
+                    _pq2.ParquetFile(os.path.join(self.path, f["path"]))
+                    .metadata.num_rows
+                    for f in touched
+                )
+            except Exception:
+                touched_rows = None
+            if touched_rows is not None:
+                total = touched_rows + n_batch
+                if total <= 4_000_000:
+                    out = out.coalesce(max(1, -(-total // 500_000)))
+            out.write.partitionBy("_bucket").mode("errorifexists").parquet(
+                commit_dir
+            )
         else:
             # --- big-batch path (backfill / bulk replay): union the
             # deduped batch with the affected buckets and take the
@@ -561,8 +640,15 @@ class TransactionalTable:
                 if existing is not None
                 else up.select(*out_cols)
             )
+            # partition count: one per affected bucket for bulk (the
+            # per-bucket writer is the parallelism unit), downsized for
+            # small batches (e.g. the first merge into an empty table)
+            # so a 25k-row batch doesn't schedule 64 sliver tasks
+            parts = max(len(affected), 1)
+            if n_batch <= broadcast_threshold:
+                parts = max(1, min(parts, -(-n_batch // 500_000)))
             merged = _lww_agg(
-                unioned.repartition(max(len(affected), 1), "_bucket")
+                unioned.repartition(parts, "_bucket")
             ).select(*out_cols)
             (
                 merged.write.partitionBy("_bucket")
@@ -580,6 +666,8 @@ class TransactionalTable:
                     entry = {"path": rel, "bucket": bucket}
                     if kmin is not None:
                         entry["min_key"], entry["max_key"] = kmin, kmax
+                    if strategy == "merge-on-read":
+                        entry["delta"] = True
                     new_files.append(entry)
 
         # --- lineage files (atomic with the data commit). lineage_fn
@@ -649,6 +737,7 @@ class TransactionalTable:
             # MUST carry through every commit: files are placed by this
             # hash — losing it would silently re-bucket the table
             "bucket_cols": bcols,
+            "merge_strategy": strategy,
             "files": kept + new_files,
             "lineage_files": lineage_files,
             "watermarks": watermarks,
@@ -722,6 +811,34 @@ class TransactionalTable:
             os.path.join(self.path, f["path"]) for fs in frag.values() for f in fs
         ]
         df = self.spark.read.schema(internal).parquet(*paths)
+        if any(f.get("delta") for fs in frag.values() for f in fs):
+            # major compaction of merge-on-read deltas: resolve LWW
+            # winners so the rewritten base files hold exactly one row
+            # per key. MUST happen BEFORE tombstone expiry — dropping
+            # tombstones first would resurrect the older rows they
+            # shadow. Keys never span buckets (bucket = key hash), so
+            # per-bucket compaction sees every version of its keys.
+            key_cols = m["key_cols"]
+            lww_order = [
+                ("_seq" if c == "seq" else c)
+                for c in (m.get("lww_cols") or ["ts"])
+            ]
+            if "_seq" not in lww_order:
+                lww_order.append("_seq")
+            non_key = [c for c in df.columns if c not in key_cols]
+            df = (
+                df.groupBy(*key_cols)
+                .agg(
+                    F.expr(
+                        "max_by(struct({cols}), struct({ord}))".format(
+                            cols=", ".join(non_key), ord=", ".join(lww_order)
+                        )
+                    ).alias("_w")
+                )
+                .select(
+                    *key_cols, *[F.col(f"_w.{c}").alias(c) for c in non_key]
+                )
+            )
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         df = df.withColumn(

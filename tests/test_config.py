@@ -44,7 +44,7 @@ def test_valid_config_passes():
         dict(max_files_per_trigger=0),
         dict(n_buckets=0),
         dict(metrics_granularity="nope"),
-        dict(merge_strategy="merge-on-read"),  # not implemented yet
+        dict(merge_strategy="copy-on-read"),  # not a real strategy
         dict(dead_letter_path="", fail_on_dead_letter=False),
     ],
 )
@@ -56,3 +56,7 @@ def test_invalid_configs_raise(over):
 def test_fail_on_dead_letter_relaxes_dlq_path():
     # cross-field rule, ≙ ACP:289-316 conditional requirements
     valid_cfg(dead_letter_path="", fail_on_dead_letter=True).validate()
+
+
+def test_merge_on_read_is_a_valid_strategy():
+    valid_cfg(merge_strategy="merge-on-read").validate()

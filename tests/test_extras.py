@@ -18,9 +18,13 @@ SPEC = SynthSpec(n_conversations=40, turns_per_conv=5, n_shards=3, seed=5)
 
 
 def test_compact_restores_file_hygiene_and_state(spark, tmp_path):
+    # merge-on-read is the strategy that actually fragments (one delta
+    # generation per merge); copy-on-write's sized outputs now keep
+    # buckets at ~1 file so compact() correctly reports nothing to do.
     ev = generate_events(SPEC)
     t = TransactionalTable.create(
-        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS, n_buckets=4
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS,
+        n_buckets=4, merge_strategy="merge-on-read",
     )
     n = len(ev)
     for i in range(4):

@@ -183,6 +183,43 @@ def test_min_max_key_stats_prune_files_within_bucket(spark, tmp_table_path):
     assert out == {"conv-aaa": "updated", "conv-zzz": "second"}
 
 
+def test_merge_on_read_replay_matches_oracle(spark, tmp_table_path):
+    """merge-on-read: delta-append merges never read or rewrite
+    existing files; read-time LWW resolution and post-compaction state
+    both equal the sequential oracle (incl. out-of-order + deletes)."""
+    ev = generate_events(SPEC)
+    t = TransactionalTable.create(
+        spark, tmp_table_path, TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS,
+        n_buckets=8, merge_strategy="merge-on-read",
+    )
+    n = len(ev)
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        r = t.merge(events_df(spark, ev.iloc[lo:hi]), "s", i)
+        assert r["merge_path"] == "delta-append"
+        assert r["files_rewritten"] == 0  # zero reads of existing data
+
+    exp = oracle_apply(ev).reset_index(drop=True)
+
+    def state():
+        return (
+            t.read()
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(state(), exp, check_dtype=False)  # read-time LWW
+
+    r = t.compact(drop_tombstones=True)  # major compaction
+    assert not r.get("skipped")
+    m = t.manifest()
+    assert not any(f.get("delta") for f in m["files"])  # all base now
+    pd.testing.assert_frame_equal(state(), exp, check_dtype=False)
+    # post-compaction reads are scan-only again (no read-side aggregate)
+    plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan
+
+
 def test_put_rate_limit_paces_batches(spark, tmp_path):
     """put_rate_limit_events_per_sec ≙ the producer RateLimit
     property: the sustained apply rate stays at or below the limit."""
