@@ -586,6 +586,100 @@ def _emb_ann_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_render_emb_ann_pairs("spark"))
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantizer cells + within-cell search
+# --------------------------------------------------------------------------
+
+def _ivf_centroids(k: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic coarse centroids embedded as literals in BOTH
+    dialects (the md5-seeded constants pattern used for LSH planes).
+    On a real corpus these would come from a k-means fit; the IVF
+    *plan shape* — assign each vector to its nearest cell once, search
+    only the probed cells — is what this query exercises and gates."""
+    return [
+        [md5_unit(f"ivf{c}_{d}") for d in range(dim)] for c in range(k)
+    ]
+
+
+def _ivf_fragments() -> tuple[str, str, list]:
+    """(cells_tpl, search_tpl, centroid_literals). ``cells_tpl``
+    assigns every vector to its nearest-centroid cell (the inverted
+    index); ``search_tpl`` runs the probe-within-cell top-k over a
+    table named ``{cells}``."""
+    cents = _ivf_centroids()
+    bits = []
+    for c, v in enumerate(cents):
+        arr = "array(" + ", ".join(repr(x) for x in v) + ")"
+        duck = "[" + ", ".join(repr(x) for x in v) + "]"
+        bits.append((c, arr, duck))
+    k = len(cents)
+    dots = ",\n         ".join(
+        f"@DOT(embedding; __IVF{c}__)@ AS d{c}" for c in range(k)
+    )
+    # argmax over the k cell affinities (>= keeps the LOWEST index on
+    # ties — same rule in both engines)
+    argmax = "CASE " + " ".join(
+        "WHEN "
+        + " AND ".join(f"d{c} >= d{o}" for o in range(k) if o != c)
+        + f" THEN {c}"
+        for c in range(k - 1)
+    ) + f" ELSE {k - 1} END"
+    cells_tpl = f"""
+SELECT vec_id, embedding, {argmax} AS cell
+FROM (
+  SELECT vec_id, embedding,
+         {dots}
+  FROM embeddings
+) aff
+"""
+    search_tpl = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv, cell AS qcell
+           FROM {cells} WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         round(@DOT(q.qv; c.embedding)@
+               / (sqrt(@DOT(q.qv; q.qv)@) * sqrt(@DOT(c.embedding; c.embedding)@)),
+               4) AS cos_sim
+  FROM q JOIN {cells} c ON c.cell = q.qcell AND c.vec_id <> q.qid
+),
+r AS (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rk FROM r WHERE rk <= 3
+"""
+    return cells_tpl, search_tpl, bits
+
+
+def _sub_centroids(sql: str, bits: list, dialect: str) -> str:
+    for c, spark_arr, duck_arr in bits:
+        sql = sql.replace(f"__IVF{c}__", spark_arr if dialect == "spark" else duck_arr)
+    return sql
+
+
+def _ivf_oracle() -> str:
+    cells_tpl, search_tpl, bits = _ivf_fragments()
+    sql = (
+        f"WITH ivf_cells AS ({cells_tpl})\n"
+        + search_tpl.format(cells="ivf_cells").replace("WITH q AS", ", q AS", 1)
+    )
+    return _sub_centroids(render(sql, "duckdb"), bits, "duckdb")
+
+
+def _ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, Spark side: the cell assignment (inverted index) is
+    computed ONCE and cached — it feeds both the query side and the
+    candidate side of the probe join. At scale `cells` is a persisted
+    bucketed table and the probe join is co-partitioned on cell id —
+    never the all-pairs cross join of the brute-force baseline."""
+    load_tables(spark, sf_dir, ["embeddings"])
+    cells_tpl, search_tpl, bits = _ivf_fragments()
+    cells = spark.sql(_sub_centroids(render(cells_tpl, "spark"), bits, "spark"))
+    cells.persist().createOrReplaceTempView("ivf_cells")
+    return spark.sql(render(search_tpl.format(cells="ivf_cells"), "spark"))
+
 def _emb_cosine_topk_blocked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The matmul-blocked mapInPandas scale path
     (operators/similarity.cosine_topk_blocked) on the SAME probe set as
@@ -669,3 +763,4 @@ QUERIES["emb_cosine_topk_blocked"] = (
     _emb_cosine_topk_blocked_spark,
     render(EMB_COSINE_TOPK_TPL, "duckdb"),
 )
+QUERIES["emb_ivf_ann_topk"] = (_ivf_spark, _ivf_oracle())
