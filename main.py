@@ -44,6 +44,17 @@ def parse_args(argv=None):
     ap.add_argument("--shuffle-partitions", type=int, default=64)
     ap.add_argument("--metrics-granularity", default="shard",
                     choices=["shard", "stream", "global"])
+    ap.add_argument("--initial-position", default="earliest",
+                    choices=["earliest", "latest"],
+                    help="earliest=TRIM_HORIZON replay; latest=skip events "
+                         "already in the binlog at first stream start")
+    ap.add_argument("--merge-strategy", default="copy-on-write",
+                    choices=["copy-on-write", "merge-on-read"],
+                    help="copy-on-write rewrites touched buckets (read-"
+                         "optimized); merge-on-read appends delta files "
+                         "(write-optimized, compact() folds them back)")
+    ap.add_argument("--put-rate-limit", type=int, default=0,
+                    help="max applied events/sec (0 = unlimited)")
     ap.add_argument("--redact", action="store_true",
                     help="enable the vectorized PII-redaction rewrite stage")
     ap.add_argument("--continuous", action="store_true",
@@ -78,6 +89,9 @@ def main(argv=None) -> None:
         salt_buckets=args.salt_buckets,
         shuffle_partitions=args.shuffle_partitions,
         metrics_granularity=args.metrics_granularity,
+        initial_position=args.initial_position,
+        merge_strategy=args.merge_strategy,
+        put_rate_limit_events_per_sec=args.put_rate_limit,
     )
     transform = make_transform(redact=True) if args.redact else None
     pipe = CdcPipeline(spark, cfg, transform=transform)

@@ -164,6 +164,62 @@ ORDER BY totalprice DESC, o_orderkey ASC
 LIMIT 20
 """
 
+#: Q7-style: volume shipped between nation pairs (6-way join, year
+#: bucketing, group by the customer/supplier nation pair)
+Q7_TPL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                           AS decimal(18,4))) AS double), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         cast(year(l_shipdate) AS int) AS l_year,
+         l_extendedprice, l_discount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+#: Q14-style: promo revenue share (join + conditional aggregation
+#: over the whole join, ratio of two decimal-exact sums)
+Q14_TPL = """
+SELECT round(
+         100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
+                               THEN cast(l_extendedprice * (1 - l_discount)
+                                         AS decimal(18,4))
+                               ELSE cast(0 AS decimal(18,4)) END) AS double)
+         / cast(sum(cast(l_extendedprice * (1 - l_discount)
+                         AS decimal(18,4))) AS double),
+         4) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+#: Q19-style: disjunctive brand/size/quantity predicates pushed into
+#: one join (the classic OR-of-ANDs pushdown shape)
+Q19_TPL = """
+SELECT round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                           AS decimal(18,4))) AS double), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 25 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 50)
+"""
+
 #: Q12-style: join + conditional (CASE) aggregation by priority class
 Q12_TPL = """
 SELECT l_linestatus,
@@ -257,6 +313,24 @@ SELECT doc_id, lang,
          ELSE 'en' END AS predicted_lang,
        s_en, s_es, s_fr, s_de
 FROM s
+"""
+
+#: §2.8 set operations: INTERSECT / EXCEPT confusion sets between the
+#: language-id PREDICTIONS and the labeled truth (both engines share
+#: identical set-op semantics: distinct rows)
+DOC_SETOPS_TPL = f"""
+WITH pred_en AS (
+  SELECT doc_id FROM ({{lang_q}}) p WHERE predicted_lang = 'en'
+),
+lab_en AS (SELECT doc_id FROM documents WHERE lang = 'en')
+SELECT 'pred_and_labeled' AS set_name, count(*) AS n
+FROM (SELECT doc_id FROM pred_en INTERSECT SELECT doc_id FROM lab_en) a
+UNION ALL
+SELECT 'pred_not_labeled', count(*)
+FROM (SELECT doc_id FROM pred_en EXCEPT SELECT doc_id FROM lab_en) b
+UNION ALL
+SELECT 'labeled_not_pred', count(*)
+FROM (SELECT doc_id FROM lab_en EXCEPT SELECT doc_id FROM pred_en) c
 """
 
 DOC_QUALITY_TPL = """
@@ -713,6 +787,11 @@ _TEMPLATED = {
     "q6_forecast_revenue": (Q6_TPL, ["lineitem"]),
     "q10_returned_items": (Q10_TPL, ["customer", "orders", "lineitem", "nation"]),
     "q18_large_orders": (Q18_TPL, ["customer", "orders", "lineitem"]),
+    "q7_nation_volume": (
+        Q7_TPL, ["supplier", "lineitem", "orders", "customer", "nation"],
+    ),
+    "q14_promo_share": (Q14_TPL, ["lineitem", "part"]),
+    "q19_disjunctive_filter": (Q19_TPL, ["lineitem", "part"]),
     "q12_priority_lines": (Q12_TPL, ["orders", "lineitem"]),
     "events_type_pivot": (EVENTS_PIVOT_TPL, ["events"]),
     "events_sessionize": (SESSIONIZE_TPL, ["events"]),
@@ -722,6 +801,9 @@ _TEMPLATED = {
     "doc_fingerprint": (DOC_FINGERPRINT_TPL, ["documents"]),
     "doc_dedup_exact": (DOC_DEDUP_EXACT_TPL, ["documents"]),
     "doc_lang_id": (DOC_LANG_ID_TPL, ["documents"]),
+    "doc_lang_confusion_setops": (
+        DOC_SETOPS_TPL.format(lang_q=DOC_LANG_ID_TPL), ["documents"],
+    ),
     "doc_quality_score": (DOC_QUALITY_TPL, ["documents"]),
     "doc_simhash": (DOC_SIMHASH_TPL.format(corpus=_DOC_CORPUS), ["documents"]),
     "doc_ngram_jaccard": (DOC_NGRAM_JACCARD_TPL, ["documents"]),

@@ -803,6 +803,9 @@ class TransactionalTable:
         frag = {
             b: fs for b, fs in by_bucket.items()
             if len(fs) > max_files_per_bucket or drop_tombstones
+            # delta files qualify regardless of count: folding them
+            # into base restores scan-only reads
+            or any(f.get("delta") for f in fs)
         }
         if not frag:
             return {"skipped": True, "reason": "nothing to compact"}
