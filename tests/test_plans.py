@@ -82,3 +82,49 @@ def test_merge_cow_path_does_not_shuffle_existing(spark, tmp_path):
     )
     assert has_broadcast_join(j)
     assert count_exchanges(j) == 0
+
+
+def test_ivf_probe_join_is_broadcast_not_cartesian(spark):
+    """IVF ANN: the probe side (tiny query set) must broadcast into the
+    per-cell join — never a cartesian product of all vectors."""
+    from nifi_processors_spark.plans.sql_queries import QUERIES
+
+    q = QUERIES["emb_ivf_ann_topk"][0](spark, SF)
+    plan = str(q._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(q)
+
+
+def test_minhash_band_join_has_no_cartesian_and_caps_buckets(spark):
+    """Banded LSH candidate generation: equi-join on the band key (no
+    cross join), and the hot-bucket cap's rank filter is in the plan."""
+    from nifi_processors_spark.plans.sql_queries import QUERIES
+
+    q = QUERIES["doc_dedup_minhash_lsh"][0](spark, SF)
+    plan = str(q._jdf.queryExecution().executedPlan())
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan  # the band-bucket cap window
+
+
+def test_mor_delta_append_writes_without_reading_existing(spark, tmp_path):
+    """merge-on-read: the delta-append merge plan contains ONE exchange
+    (the bucket clustering) and never scans the table's own files."""
+    import pandas as pd
+
+    from nifi_processors_spark.schema import KEY_COLS, LWW_COLS, TRANSCRIPTS_SCHEMA
+    from nifi_processors_spark.synth import SynthSpec, generate_events
+    from nifi_processors_spark.table import TransactionalTable
+
+    ev = generate_events(SynthSpec(n_conversations=50, turns_per_conv=4, seed=4))
+    t = TransactionalTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS,
+        n_buckets=4, merge_strategy="merge-on-read",
+    )
+    t.merge(spark.createDataFrame(ev.drop(columns=["arrival_idx"])), "s", 0)
+    first_files = {f["path"] for f in t.manifest()["files"]}
+    r = t.merge(
+        spark.createDataFrame(ev.tail(5).drop(columns=["arrival_idx"])), "s", 1
+    )
+    assert r["merge_path"] == "delta-append" and r["files_rewritten"] == 0
+    # all first-commit files survive untouched
+    assert first_files <= {f["path"] for f in t.manifest()["files"]}
