@@ -45,6 +45,9 @@ class EngineConfig:
     binlog_format: str = "parquet"  # parquet | json (Debezium-style lines)
     initial_position: str = "earliest"  # ≙ TRIM_HORIZON/LATEST ACP:85-92
     max_files_per_trigger: int = 8  # ≙ BATCH_SIZE KPD:43-51
+    # byte-granular admission control (≙ max records/request
+    # ACP:109-116 scaled to bytes); 0 = file-count control only
+    max_bytes_per_trigger: int = 0
     n_shards: int = 8  # ≙ stream shard count
     trigger_interval_ms: int = 1000  # ≙ idle-time-between-reads ACP:121-128
     skip_empty_batches: bool = True  # ≙ ACP:133-140
@@ -109,6 +112,7 @@ class EngineConfig:
         # range validation ≙ KPD:49 createLongValidator(1, 500, false)
         for name, lo, hi in [
             ("max_files_per_trigger", 1, 100_000),
+            ("max_bytes_per_trigger", 0, 1 << 50),
             ("n_shards", 1, 10_000),
             ("n_buckets", 1, 1_000_000),
             ("salt_buckets", 1, 65_536),

@@ -76,10 +76,13 @@ def read_binlog_stream(
     pair with binlog retention/compaction for very old logs.
     """
     schema = schema or CHANGE_EVENTS_SCHEMA
-    reader = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", config.max_files_per_trigger)
-    )
+    reader = spark.readStream.schema(schema)
+    if getattr(config, "max_bytes_per_trigger", 0):
+        # byte-granular admission; Spark forbids combining it with the
+        # file-count cap, so it replaces maxFilesPerTrigger when set
+        reader = reader.option("maxBytesPerTrigger", config.max_bytes_per_trigger)
+    else:
+        reader = reader.option("maxFilesPerTrigger", config.max_files_per_trigger)
     if config.binlog_format == "json":
         # JSON-lines segments (Debezium-style wire format); the
         # declared schema avoids inference and tolerates missing

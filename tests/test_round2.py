@@ -342,3 +342,59 @@ def test_footer_estimate_gated_to_bare_scans(spark, tmp_path, tmp_table_path):
         spark.read.parquet(pq_path).select("conv_id", "seq")
     )
     assert not TransactionalTable._is_bare_scan(small)
+
+
+def test_merge_on_read_schema_evolution(spark, tmp_table_path):
+    """Delta files carrying an evolved schema read back correctly
+    through the MOR LWW resolution (old deltas yield nulls for
+    later-added columns)."""
+    from pyspark.sql import types as T
+
+    v0 = T.StructType([f for f in TRANSCRIPTS_SCHEMA.fields if f.name != "tool"])
+    t = TransactionalTable.create(
+        spark, tmp_table_path, v0, KEY_COLS, LWW_COLS, n_buckets=2,
+        merge_strategy="merge-on-read",
+    )
+    b1 = spark.createDataFrame(
+        [("I", "c1", 0, "user", "pre", __import__("datetime").datetime(2024, 1, 1), 1, 0)],
+        "op string, conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp, seq long, shard int",
+    )
+    t.merge(b1, "s", 0)
+    b2 = spark.createDataFrame(
+        [("I", "c1", 1, "user", "post", "search",
+          __import__("datetime").datetime(2024, 1, 2), 2, 0)],
+        "op string, conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, seq long, shard int",
+    )
+    t.merge(b2, "s", 1)
+    out = t.read().orderBy("turn_idx").toPandas()
+    assert out["tool"].tolist() == [None, "search"]
+    # compaction rewrites both generations under the evolved schema
+    t.compact()
+    out2 = t.read().orderBy("turn_idx").toPandas()
+    assert out2["tool"].tolist() == [None, "search"]
+
+
+def test_max_bytes_per_trigger_limits_admission(spark, tmp_path):
+    from nifi_processors_spark.synth import make_fixture
+
+    binlog = str(tmp_path / "binlog")
+    make_fixture(
+        binlog,
+        SynthSpec(n_conversations=40, turns_per_conv=4, n_shards=2, seed=8,
+                  segments_per_shard=3),
+    )
+    cfg = EngineConfig(
+        binlog_dir=binlog,
+        table_path=str(tmp_path / "t"),
+        dead_letter_path=str(tmp_path / "dlq"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        n_buckets=2,
+        max_files_per_trigger=100,
+        max_bytes_per_trigger=1,  # 1 byte → one file per micro-batch
+    )
+    p = CdcPipeline(spark, cfg)
+    p.run_once()
+    lin = p.table.read_lineage().toPandas()
+    assert lin["batch_id"].nunique() >= 6  # byte cap split the drain
