@@ -37,7 +37,9 @@ HEADLINE = [
 ]
 
 
-def merge_apply_throughput(spark, sf_dir: str) -> tuple[int, float]:
+def merge_apply_throughput(
+    spark, sf_dir: str, strategy: str = "copy-on-write"
+) -> tuple[int, float]:
     """Merge-apply throughput over an ENLARGED derived stream (≥1M
     events at sf0.1): the sf events table is replicated 16× with
     distinct conversation ids and interleaved seqs, written out as a
@@ -80,10 +82,13 @@ def merge_apply_throughput(spark, sf_dir: str) -> tuple[int, float]:
         t0 = time.perf_counter()
         table = TransactionalTable.create(
             spark, os.path.join(work, "t"), TRANSCRIPTS_SCHEMA, KEY_COLS,
-            LWW_COLS, n_buckets=64,
+            LWW_COLS, n_buckets=64, merge_strategy=strategy,
         )
         for i, b in enumerate(batches):
             table.merge(b, "bench", i, broadcast_threshold=300_000)
+        if strategy == "merge-on-read":
+            # a MOR replay isn't done until readers are scan-only again
+            table.compact(drop_tombstones=True)
         dt = time.perf_counter() - t0
         return n_events, round(dt, 3)
     finally:
@@ -110,6 +115,10 @@ def main() -> None:
 
     n_merge_events, merge_sec = merge_apply_throughput(spark, sf_dir)
     timings["merge_apply_16x"] = merge_sec
+    # the write-optimized strategy on the same stream (delta-append
+    # merges + major compaction back to scan-only base files)
+    _, mor_sec = merge_apply_throughput(spark, sf_dir, strategy="merge-on-read")
+    timings["merge_apply_16x_mor"] = mor_sec
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -220,6 +220,66 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity >= 20 AND l_quantity <= 50)
 """
 
+#: Q8-style: national market share within a region (8-way join, ratio
+#: of conditional decimal-exact sums per year)
+Q8_TPL = """
+SELECT o_year,
+       round(cast(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                           ELSE cast(0 AS decimal(18,4)) END) AS double)
+             / cast(sum(volume) AS double), 4) AS mkt_share,
+       count(*) AS n_lines
+FROM (
+  SELECT cast(year(o_orderdate) AS int) AS o_year,
+         cast(l_extendedprice * (1 - l_discount) AS decimal(18,4)) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+#: Q15-style: top supplier(s) by quarterly revenue — aggregate CTE
+#: reused by a scalar-subquery max (decimal equality is exact, so the
+#: argmax set is identical across engines)
+Q15_TPL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(cast(total_revenue AS double), 2) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+#: Q17-style: small-quantity lines vs a correlated per-part average
+#: (correlated scalar subquery → Catalyst rewrites to aggregate+join)
+Q17_TPL = """
+SELECT round(cast(sum(cast(l_extendedprice AS decimal(18,4))) AS double)
+             / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
 #: Q12-style: join + conditional (CASE) aggregation by priority class
 Q12_TPL = """
 SELECT l_linestatus,
@@ -792,6 +852,12 @@ _TEMPLATED = {
     ),
     "q14_promo_share": (Q14_TPL, ["lineitem", "part"]),
     "q19_disjunctive_filter": (Q19_TPL, ["lineitem", "part"]),
+    "q8_market_share": (
+        Q8_TPL,
+        ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
+    ),
+    "q15_top_supplier": (Q15_TPL, ["supplier", "lineitem"]),
+    "q17_small_qty_avg": (Q17_TPL, ["lineitem", "part"]),
     "q12_priority_lines": (Q12_TPL, ["orders", "lineitem"]),
     "events_type_pivot": (EVENTS_PIVOT_TPL, ["events"]),
     "events_sessionize": (SESSIONIZE_TPL, ["events"]),
