@@ -304,6 +304,45 @@ FROM events
 GROUP BY user_id % 10
 """
 
+#: Q13-style: customer order-count distribution (LEFT OUTER join →
+#: per-customer counts → histogram of the counts)
+Q13_TPL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+#: Q22-style: high-balance customers with NO orders (NOT EXISTS
+#: anti-join + scalar-subquery average over a filtered domain)
+Q22_TPL = """
+SELECT cast(c_custkey % 10 AS int) AS cust_bucket,
+       count(*) AS numcust,
+       round(cast(sum(cast(c_acctbal AS decimal(18,2))) AS double), 2)
+         AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+  )
+GROUP BY cast(c_custkey % 10 AS int)
+"""
+
+#: CUBE grouping sets over the event stream (all 4 grouping
+#: combinations with NULL subtotal markers, identical in both engines)
+EVENTS_CUBE_TPL = """
+SELECT event_type, cast(user_id % 4 AS int) AS user_bucket,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, cast(user_id % 4 AS int))
+"""
+
 #: grouping-set breadth: rollup over priority/status with NULL
 #: subtotal markers (identical semantics in both engines)
 ORDERS_ROLLUP_TPL = """
@@ -858,6 +897,9 @@ _TEMPLATED = {
     ),
     "q15_top_supplier": (Q15_TPL, ["supplier", "lineitem"]),
     "q17_small_qty_avg": (Q17_TPL, ["lineitem", "part"]),
+    "q13_order_distribution": (Q13_TPL, ["customer", "orders"]),
+    "q22_no_order_customers": (Q22_TPL, ["customer", "orders"]),
+    "events_cube": (EVENTS_CUBE_TPL, ["events"]),
     "q12_priority_lines": (Q12_TPL, ["orders", "lineitem"]),
     "events_type_pivot": (EVENTS_PIVOT_TPL, ["events"]),
     "events_sessionize": (SESSIONIZE_TPL, ["events"]),
