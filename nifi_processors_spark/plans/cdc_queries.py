@@ -427,6 +427,64 @@ SELECT conv_id,
 FROM z GROUP BY conv_id, sid
 """
 
+def cdc_stateful_conv_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (build brief:
+    applyInPandasWithState): the derived stream is replayed through a
+    REAL multi-micro-batch streaming query (3 segment files, one per
+    trigger, so state genuinely crosses batches and checkpoints), the
+    per-conversation progress operator maintains explicit group state,
+    and the memory-sink updates are reduced to each conversation's
+    converged row. Every state field is monotone per key, so the
+    oracle is the plain batch aggregate."""
+    import glob
+    import shutil
+    import uuid
+
+    from nifi_processors_spark.streaming.stateful import conversation_progress
+
+    ce = _ce(spark, sf_dir).select("conv_id", "seq", "ts")
+    work = tempfile.mkdtemp(prefix="nps-stateful-")
+    seg_dir = os.path.join(work, "segments")
+    os.makedirs(seg_dir)
+    # three disjoint slices → three files → three micro-batches
+    for i in range(3):
+        part = os.path.join(work, f"slice{i}")
+        ce.filter(F.pmod(F.col("seq"), F.lit(3)) == i).coalesce(1).write.parquet(part)
+        src = glob.glob(os.path.join(part, "*.parquet"))[0]
+        shutil.move(src, os.path.join(seg_dir, f"seg-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("conv_id string, seq long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(seg_dir)
+    )
+    name = f"conv_progress_{uuid.uuid4().hex[:8]}"
+    q = (
+        conversation_progress(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    # per-batch updates → converged row per conversation (fields are
+    # monotone, so max over updates = the final state)
+    return spark.table(name).groupBy("conv_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_seq").alias("max_seq"),
+        F.max("max_ts_us").alias("max_ts_us"),
+    )
+
+
+CDC_STATEFUL_ORACLE = f"""
+WITH ce AS ({render(CDC_BASE_TPL, 'duckdb')})
+SELECT conv_id, count(*) AS n_events, max(seq) AS max_seq,
+       epoch_us(max(ts)) AS max_ts_us
+FROM ce GROUP BY conv_id
+"""
+
 #: name → (spark_fn, oracle_sql) registry for this module
 QUERIES = {
     "cdc_lww_replay": (cdc_lww_replay, _FINAL_STATE_ORACLE),
@@ -441,4 +499,5 @@ QUERIES = {
     "cdc_content_rewrite": (cdc_content_rewrite, _rewrite_oracle()),
     "cdc_tumbling_window_stats": (cdc_tumbling_window_stats, CDC_TUMBLING_ORACLE),
     "cdc_session_window_turns": (cdc_session_window_turns, CDC_SESSION_ORACLE),
+    "cdc_stateful_conv_progress": (cdc_stateful_conv_progress, CDC_STATEFUL_ORACLE),
 }
