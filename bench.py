@@ -113,14 +113,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         del rows
 
+    # headline total stays the sum of the query suite (comparable
+    # round-over-round); the merge-throughput measurements are
+    # reported as their own entries + events/sec
+    total = round(sum(timings.values()), 3)
+
     n_merge_events, merge_sec = merge_apply_throughput(spark, sf_dir)
     timings["merge_apply_16x"] = merge_sec
     # the write-optimized strategy on the same stream (delta-append
     # merges + major compaction back to scan-only base files)
     _, mor_sec = merge_apply_throughput(spark, sf_dir, strategy="merge-on-read")
     timings["merge_apply_16x_mor"] = mor_sec
-
-    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query wall time (sf parquet, local mode)",
         "value": total,
