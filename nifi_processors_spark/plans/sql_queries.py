@@ -393,6 +393,34 @@ r AS (
 SELECT doc_id, fp FROM r WHERE rk = 1
 """
 
+#: rolling-hash (winnowing-style) fingerprint: hash every char 8-gram,
+#: take the MINIMUM hash per 16-position window — the classic
+#: local-fingerprint scheme (two docs sharing any sufficiently long
+#: substring share window minima). Output: per-doc fingerprint-set
+#: stats; the full set is the dedup signature at scale.
+DOC_WINNOW_TPL = """
+WITH g AS (
+  SELECT doc_id, p,
+         @MD5INT(substring(text, p, 8))@ AS h
+  FROM (
+    SELECT doc_id, lower(trim(text)) AS text,
+           @EXPLODE(@SEQ(1; length(lower(trim(text))) - 7)@)@ AS p
+    FROM documents
+    WHERE length(lower(trim(text))) >= 8
+  ) pos
+),
+w AS (
+  SELECT doc_id, @IDIV(p - 1; 16)@ AS win, min(h) AS fp
+  FROM g GROUP BY doc_id, @IDIV(p - 1; 16)@
+),
+s AS (
+  SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp,
+         max(fp) AS max_fp
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_fp, min_fp, max_fp FROM s
+"""
+
 #: language-ID by stopword-marker scoring (argmax, alphabetic tie-break)
 DOC_LANG_ID_TPL = """
 WITH s AS (
@@ -907,6 +935,7 @@ _TEMPLATED = {
     "events_json_props": (JSON_PROPS_TPL, ["events"]),
     "doc_token_stats": (DOC_TOKEN_STATS_TPL, ["documents"]),
     "doc_fingerprint": (DOC_FINGERPRINT_TPL, ["documents"]),
+    "doc_winnow_fingerprint": (DOC_WINNOW_TPL, ["documents"]),
     "doc_dedup_exact": (DOC_DEDUP_EXACT_TPL, ["documents"]),
     "doc_lang_id": (DOC_LANG_ID_TPL, ["documents"]),
     "doc_lang_confusion_setops": (
