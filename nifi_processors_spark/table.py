@@ -279,6 +279,14 @@ class TransactionalTable:
                 st = md.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
                     return None, None
+                # parquet writers may TRUNCATE long string stats (the
+                # stored max can be a prefix that compares LOWER than
+                # real values — unsound for pruning). Keys here are
+                # short ids; refuse stats that could be truncated.
+                if isinstance(st.max, (str, bytes)) and (
+                    len(st.max) >= 60 or len(st.min) >= 60
+                ):
+                    return None, None
                 mins.append(st.min)
                 maxs.append(st.max)
             return (min(mins), max(maxs)) if mins else (None, None)
