@@ -398,3 +398,61 @@ def test_max_bytes_per_trigger_limits_admission(spark, tmp_path):
     p.run_once()
     lin = p.table.read_lineage().toPandas()
     assert lin["batch_id"].nunique() >= 6  # byte cap split the drain
+
+
+def test_crashed_commit_leaves_table_consistent(spark, tmp_table_path):
+    """A writer that dies between data write and manifest link leaves
+    only an orphan attempt dir: the committed snapshot is untouched,
+    reads stay correct, and a retried merge converges."""
+    ev = generate_events(SPEC)
+    t = make_table(spark, tmp_table_path)
+    t.merge(events_df(spark, ev.iloc[:80]), "s", 0)
+    v1 = t.current_version()
+    before = t.read().count()
+
+    # crash injection: the manifest link itself fails
+    orig = t._commit_manifest
+    def boom(manifest):
+        raise RuntimeError("simulated crash before manifest link")
+    t._commit_manifest = boom
+    with pytest.raises(RuntimeError):
+        t.merge(events_df(spark, ev.iloc[80:160]), "s", 1)
+    t._commit_manifest = orig
+
+    assert t.current_version() == v1  # nothing became visible
+    assert t.read().count() == before
+
+    # the retried merge (fresh delivery) commits and converges
+    t.merge(events_df(spark, ev.iloc[80:]), "s", 1)
+    got = (
+        t.read().orderBy("conv_id", "turn_idx")
+        .toPandas()[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, oracle_apply(ev).reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_crashed_compaction_is_invisible(spark, tmp_table_path):
+    """compact() dying before its manifest link must not change what
+    readers see; a later compact succeeds."""
+    ev = generate_events(SPEC)
+    t = TransactionalTable.create(
+        spark, tmp_table_path, TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS,
+        n_buckets=4, merge_strategy="merge-on-read",
+    )
+    n = len(ev)
+    t.merge(events_df(spark, ev.iloc[: n // 2]), "s", 0)
+    t.merge(events_df(spark, ev.iloc[n // 2 :]), "s", 1)
+    before = t.read().count()
+    orig = t._commit_manifest
+    t._commit_manifest = lambda m: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError):
+        t.compact()
+    t._commit_manifest = orig
+    assert t.read().count() == before
+    assert any(f.get("delta") for f in t.manifest()["files"])  # still MOR
+    r = t.compact(drop_tombstones=True)
+    assert not r.get("skipped")
+    assert t.read().count() == before
