@@ -511,14 +511,18 @@ FROM (
 ) t
 """
 
-MH_SIG_TPL = """
-SELECT doc_id,
-       min(@MD5INT('h0|' || h)@) AS m0,
-       min(@MD5INT('h1|' || h)@) AS m1,
-       min(@MD5INT('h2|' || h)@) AS m2,
-       min(@MD5INT('h3|' || h)@) AS m3,
-       min(@MD5INT('h4|' || h)@) AS m4,
-       min(@MD5INT('h5|' || h)@) AS m5,
+#: the 6 minhash functions are UNIVERSAL hashes (a_k*h + b_k mod p,
+#: Mersenne prime p=2^31-1) over the base shingle id — pure bigint
+#: arithmetic instead of six md5 calls per shingle (md5 was ~all the
+#: signature stage's CPU). h < 2^32 and a_k < 2^31 keep the product
+#: within int64 in both engines; % on positive operands is identical.
+_MH_A = [1296641797, 1674283089, 1003963879, 1977257971, 1559961221, 1827804061]
+_MH_B = [417074089, 940961741, 1134483821, 655662133, 217398467, 1811824309]
+
+MH_SIG_TPL = "SELECT doc_id,\n" + ",\n".join(
+    f"       min(({a} * h + {b}) % 2147483647) AS m{k}"
+    for k, (a, b) in enumerate(zip(_MH_A, _MH_B))
+) + """,
        count(*) AS n
 FROM {e} GROUP BY doc_id
 """
