@@ -76,6 +76,9 @@ _DIALECT = {
     ),
     # bit shift right
     "SHR": ("shiftright({0}, {1})", "({0} >> {1})"),
+    # bitwise xor / population count
+    "XOR": ("({0} ^ {1})", "xor({0}, {1})"),
+    "POPCNT": ("bit_count({0})", "bit_count({0})"),
     # JSON string key extraction
     "JSONK": (
         "get_json_object({0}, '$.{1}')",

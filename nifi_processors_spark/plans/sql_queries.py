@@ -637,6 +637,38 @@ SELECT doc_id,
 FROM h GROUP BY doc_id
 """
 
+#: SimHash NEAR-DUP PAIRS: band the 16-bit simhash into 4 nibbles —
+#: by pigeonhole, any pair within hamming distance 3 shares at least
+#: one identical nibble band — generate candidates per (band, value)
+#: bucket (capped, same hot-bucket guard as MinHash), then verify the
+#: exact hamming distance with popcount(xor). A production 64-bit
+#: simhash would band into 8-bit chunks (256-way spread per band);
+#: the plan shape is identical.
+DOC_SIMHASH_PAIRS_TPL = f"""
+WITH s AS ({{simhash_q}}),
+bands_raw AS (
+  SELECT doc_id, b * 100 + (@SHR(simhash; b * 4)@ % 16) AS bk
+  FROM s CROSS JOIN (SELECT @EXPLODE(@SEQ(0; 3)@)@ AS b) bs
+),
+bands AS (
+  SELECT doc_id, bk FROM (
+    SELECT doc_id, bk,
+           row_number() OVER (PARTITION BY bk ORDER BY doc_id) AS rk
+    FROM bands_raw
+  ) t WHERE rk <= 80
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       cast(@POPCNT(@XOR(sa.simhash; sb.simhash)@)@ AS int) AS hamming
+FROM cand c
+JOIN s sa ON sa.doc_id = c.doc_a
+JOIN s sb ON sb.doc_id = c.doc_b
+WHERE @POPCNT(@XOR(sa.simhash; sb.simhash)@)@ <= 3
+"""
+
 #: n-gram Jaccard among a deterministic probe subset (brute-force
 #: same-language blocking — the oracle-checkable baseline; LSH above is
 #: the scale path)
@@ -947,6 +979,12 @@ _TEMPLATED = {
     ),
     "doc_quality_score": (DOC_QUALITY_TPL, ["documents"]),
     "doc_simhash": (DOC_SIMHASH_TPL.format(corpus=_DOC_CORPUS), ["documents"]),
+    "doc_simhash_neardup": (
+        DOC_SIMHASH_PAIRS_TPL.format(
+            simhash_q=DOC_SIMHASH_TPL.format(corpus=_DOC_CORPUS)
+        ),
+        ["documents"],
+    ),
     "doc_ngram_jaccard": (DOC_NGRAM_JACCARD_TPL, ["documents"]),
     "emb_cosine_topk": (EMB_COSINE_TOPK_TPL, ["embeddings"]),
 }
