@@ -41,8 +41,16 @@ def event_logs(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
-@given(ev=event_logs(), split=st.integers(1, 59), swap=st.booleans())
-def test_merge_always_equals_oracle(spark, tmp_path_factory, ev, split, swap):
+@given(
+    ev=event_logs(),
+    split=st.integers(1, 59),
+    swap=st.booleans(),
+    mor=st.booleans(),
+)
+def test_merge_always_equals_oracle(spark, tmp_path_factory, ev, split, swap, mor):
+    """Both write strategies fuzzed against the oracle: copy-on-write
+    resolves at merge time, merge-on-read at read time (plus a final
+    compaction check)."""
     exp = oracle_apply(ev)
     # vectorized oracle == literal sequential apply (oracle self-check)
     pd.testing.assert_frame_equal(
@@ -50,7 +58,8 @@ def test_merge_always_equals_oracle(spark, tmp_path_factory, ev, split, swap):
     )
     path = str(tmp_path_factory.mktemp("prop") / "t")
     t = TransactionalTable.create(
-        spark, path, TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS, n_buckets=4
+        spark, path, TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS, n_buckets=4,
+        merge_strategy="merge-on-read" if mor else "copy-on-write",
     )
     split = min(split, len(ev))
     parts = [ev.iloc[:split], ev.iloc[split:]]
@@ -59,10 +68,18 @@ def test_merge_always_equals_oracle(spark, tmp_path_factory, ev, split, swap):
     for i, part in enumerate(parts):
         if len(part):
             t.merge(spark.createDataFrame(part), "prop", i)
-    got = (
-        t.read()
-        .orderBy("conv_id", "turn_idx")
-        .toPandas()[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
-        .reset_index(drop=True)
-    )
-    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+    def state():
+        return (
+            t.read()
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(state(), exp.reset_index(drop=True), check_dtype=False)
+    if mor:
+        t.compact(drop_tombstones=True)
+        pd.testing.assert_frame_equal(
+            state(), exp.reset_index(drop=True), check_dtype=False
+        )
