@@ -279,6 +279,13 @@ class TransactionalTable:
                 st = md.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
                     return None, None
+                # min/max stats EXCLUDE nulls, but the merge join
+                # matches null keys (eqNullSafe): a file holding a
+                # null-key row must never be pruned on its non-null
+                # range, or a null-key upsert would insert a second
+                # live row for the same key and break LWW convergence.
+                if st.null_count is None or st.null_count > 0:
+                    return None, None
                 # parquet writers may TRUNCATE long string stats (the
                 # stored max can be a prefix that compares LOWER than
                 # real values — unsound for pruning). Keys here are
@@ -473,6 +480,11 @@ class TransactionalTable:
                     F.count(F.lit(1)).alias("n"),
                     F.min(key0).alias("kmin"),
                     F.max(key0).alias("kmax"),
+                    # F.min/F.max skip nulls, but the merge join is
+                    # null-safe — a bucket whose batch slice contains
+                    # a null leading key must not prune ANY file (the
+                    # null-key row matches rows outside [kmin, kmax])
+                    F.sum(F.isnull(key0).cast("long")).alias("knulls"),
                 )
                 .collect()
             )
@@ -481,7 +493,7 @@ class TransactionalTable:
             bucket_ranges = {
                 r["_bucket"]: (r["kmin"], r["kmax"])
                 for r in bucket_counts
-                if r["kmin"] is not None
+                if r["kmin"] is not None and r["knulls"] == 0
             }
         affected_set = set(affected)
 
@@ -591,15 +603,32 @@ class TransactionalTable:
                     for c in non_key
                 ],
             ).select(*out_cols)
-            # keys are unique within the table — no distinct needed
-            matched_keys = existing.join(
-                F.broadcast(up_d.select(*key_cols)), key_cols, "left_semi"
+            # keys are unique within the table — no distinct needed.
+            # Both the semi and the anti join MUST be null-safe like
+            # the cow join above: plain equality never matches a null
+            # key, so a null-key upsert would update the existing row
+            # AND insert a duplicate (two live rows, LWW broken).
+            matched_keys = existing.alias("e2").join(
+                F.broadcast(up_d.select(*key_cols).alias("k")),
+                [
+                    F.col(f"e2.{k}").eqNullSafe(F.col(f"k.{k}"))
+                    for k in key_cols
+                ],
+                "left_semi",
             ).select(*key_cols)
             # cluster the (small) inserts side by bucket — without
             # this every up_d partition writes a sliver file into
             # every bucket and file count explodes quadratically
             inserts = (
-                up_d.join(F.broadcast(matched_keys), key_cols, "left_anti")
+                up_d.alias("u")
+                .join(
+                    F.broadcast(matched_keys.alias("mk")),
+                    [
+                        F.col(f"u.{k}").eqNullSafe(F.col(f"mk.{k}"))
+                        for k in key_cols
+                    ],
+                    "left_anti",
+                )
                 .select(*out_cols)
                 .repartition(max(len(affected) // 2, 1), "_bucket")
             )

@@ -1,0 +1,102 @@
+"""Round-3 regression tests: bounded query caches, discriminating
+oracles (nonzero rows), and ADVICE fixes."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nifi_processors_spark.plans import sql_queries  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _n_cached(spark):
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_staged_query_caches_are_bounded_and_releasable(spark):
+    """Round-2 VERDICT "What's wrong" #1: the MinHash/IVF staged
+    queries persisted intermediates and never released them, so a
+    long-lived session accumulated cached blocks per invocation. Now
+    each staged query releases the previous pins, and release_caches()
+    drains to zero."""
+    sql_queries.release_caches()
+    spark.catalog.clearCache()
+    base = _n_cached(spark)
+
+    mh = sql_queries.QUERIES["doc_dedup_minhash_lsh"][0]
+    ivf = sql_queries.QUERIES["emb_ivf_ann_topk"][0]
+    high = base
+    for fn in (mh, ivf, mh, ivf):
+        fn(spark, SF_DIR).collect()
+        high = max(high, _n_cached(spark))
+    # at most ONE query's intermediates pinned at any time (MinHash
+    # pins 2: shingles + signatures) — not 2 per invocation forever
+    assert high <= base + 2
+
+    sql_queries.release_caches()
+    assert _n_cached(spark) == base
+
+
+def test_null_key_upsert_converges_despite_file_pruning(spark, tmp_table_path):
+    """ADVICE r2 (medium): min/max key-stat pruning excluded nulls on
+    both sides while the merge join is null-safe — a file holding a
+    null-key row whose non-null range was disjoint from the batch
+    range got pruned, so a null-key upsert inserted a SECOND live row
+    for the same key. Fixed two ways: footer stats with null_count>0
+    are refused, and a bucket whose batch slice has null keys records
+    no range."""
+    import pandas as pd
+
+    from nifi_processors_spark.schema import (
+        KEY_COLS, LWW_COLS, TRANSCRIPTS_SCHEMA,
+    )
+    from nifi_processors_spark.table import TransactionalTable
+
+    t = TransactionalTable.create(
+        spark, tmp_table_path, TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS,
+        n_buckets=1,
+    )
+
+    def batch(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["op", "conv_id", "turn_idx", "role", "text", "tool",
+                     "ts", "seq", "shard", "arrival_ts"],
+        )
+        for c in ("ts", "arrival_ts"):
+            pdf[c] = pd.to_datetime(pdf[c])
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["shard"] = pdf["shard"].astype("int32")
+        return spark.createDataFrame(pdf)
+
+    # batch 1: a null-key row co-located with keys in the c* range
+    t.merge(batch([
+        ("I", "c500", 0, "user", "old-c500", None,
+         "2024-01-01 00:00:01", 1, 0, "2024-01-01 00:00:01"),
+        ("I", None, 0, "user", "old-null", None,
+         "2024-01-01 00:00:02", 2, 0, "2024-01-01 00:00:02"),
+    ]), "s", 0)
+    # batch 2: null-key upsert + keys DISJOINT from the c* range (the
+    # old bucket range [a000, a999] pruned batch-1's file)
+    t.merge(batch([
+        ("U", "a000", 0, "user", "new-a000", None,
+         "2024-01-01 00:01:00", 3, 0, "2024-01-01 00:01:00"),
+        ("U", None, 0, "user", "new-null", None,
+         "2024-01-01 00:01:01", 4, 0, "2024-01-01 00:01:01"),
+    ]), "s", 1)
+
+    final = t.read().filter("conv_id IS NULL").collect()
+    assert len(final) == 1, f"expected 1 live null-key row, got {final}"
+    assert final[0]["text"] == "new-null"
+
+
+def test_zero_row_oracles_now_discriminate(spark):
+    """Round-2 VERDICT "What's wrong" #3: doc_ngram_jaccard and
+    q22_no_order_customers returned zero rows at every scale, passing
+    vacuously. Both must produce rows at sf0.001 (test_entry verifies
+    the values still match the oracle)."""
+    for name in ("doc_ngram_jaccard", "q22_no_order_customers"):
+        fn = sql_queries.QUERIES[name][0]
+        assert fn(spark, SF_DIR).count() > 0, name
