@@ -42,6 +42,25 @@ def _latest_snapshot(
     if os.path.exists(snap_path):
         with open(snap_path) as f:
             return {int(k): int(v) for k, v in json.load(f).items()}
+    # A fresh snapshot is only legal on a FRESH checkpoint. If Spark's
+    # offset log already has committed entries (config flipped
+    # earliest→latest on a live checkpoint, or a checkpoint restored
+    # without the sidecar file), installing a new high-water filter
+    # would silently skip every event that arrived while the consumer
+    # was down — the exact gap the persisted snapshot exists to
+    # prevent. Refuse loudly instead.
+    offsets_dir = os.path.join(config.checkpoint_dir, "offsets")
+    if os.path.isdir(offsets_dir) and any(
+        not e.startswith(".") for e in os.listdir(offsets_dir)
+    ):
+        raise RuntimeError(
+            "initial_position='latest' on an existing checkpoint "
+            f"({config.checkpoint_dir}) with committed offsets but no "
+            "initial_position_snapshot.json — refusing to take a new "
+            "snapshot (it would skip events delivered while the "
+            "stream was stopped). Restore the snapshot sidecar or use "
+            "initial_position='earliest'."
+        )
     try:
         base = read_binlog_batch(
             spark, config.binlog_dir, schema, config.binlog_format

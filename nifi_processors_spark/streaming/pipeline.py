@@ -250,6 +250,11 @@ class CdcPipeline:
         # no per-record cost. Skipped batches applied nothing.
         if cfg.put_rate_limit_events_per_sec > 0 and not stats.get("skipped"):
             applied = int(stats.get("n_upserts") or 0)
+            # a hint-derived n_upserts counts the RAW batch (including
+            # invalid rows routed to the DLQ) — pace on the rows that
+            # were actually applied, not the upper bound
+            if stats.get("n_upserts_estimated"):
+                applied = max(0, applied - int(n_dlq or 0))
             min_elapsed = applied / cfg.put_rate_limit_events_per_sec
             remaining = min_elapsed - (_time.monotonic() - batch_t0)
             if remaining > 0:

@@ -32,6 +32,24 @@ PROGRESS_OUT_SCHEMA = (
 PROGRESS_STATE_SCHEMA = "n long, mx long, ts_us long"
 
 
+def _fold_progress(
+    n: int, mx: int | None, ts_us: int | None, pdf: pd.DataFrame
+) -> tuple[int, int | None, int | None]:
+    """Fold one micro-batch slice into the (n, max_seq, max_ts_us)
+    state tuple. Timestamp conversion is resolution-independent:
+    Arrow may hand datetime64[ns] OR datetime64[us] depending on the
+    pandas/Arrow configuration, and a bare ``.astype('int64')`` would
+    be off by 1000× on µs input — normalize to µs explicitly."""
+    n += len(pdf)
+    bmx = int(pdf["seq"].max())
+    mx = bmx if mx is None else max(mx, bmx)
+    bts = int(
+        pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64").max()
+    )
+    ts_us = bts if ts_us is None else max(ts_us, bts)
+    return n, mx, ts_us
+
+
 def conversation_progress(stream: DataFrame) -> DataFrame:
     """Running (event count, high-water seq, max event-time) per
     conversation, updated each micro-batch from explicit group state.
@@ -48,11 +66,7 @@ def conversation_progress(stream: DataFrame) -> DataFrame:
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            n += len(pdf)
-            bmx = int(pdf["seq"].max())
-            mx = bmx if mx is None else max(mx, bmx)
-            bts = int(pd.to_datetime(pdf["ts"]).astype("int64").max()) // 1000
-            ts_us = bts if ts_us is None else max(ts_us, bts)
+            n, mx, ts_us = _fold_progress(n, mx, ts_us, pdf)
         state.update((n, mx, ts_us))
         yield pd.DataFrame(
             [{"conv_id": key[0], "n_events": n, "max_seq": mx, "max_ts_us": ts_us}]

@@ -462,8 +462,14 @@ class TransactionalTable:
         # path when it is clearly large.
         est_rows = self.footer_row_estimate(batch_df)
         bulk_cutoff = max(broadcast_threshold, 8 * n_buckets * 1000)
+        # hint-derived sizes are an UPPER BOUND (pre-validation rows):
+        # usable to pick the bulk path, but n_upserts reported from it
+        # must be flagged as an estimate (the true applied count is
+        # hint − invalid/DLQ rows; the rate limiter corrects for this)
+        n_batch_estimated = False
         if est_rows is None and upper_rows_hint is not None and upper_rows_hint > bulk_cutoff:
             est_rows = upper_rows_hint
+            n_batch_estimated = True
 
         key0 = key_cols[0]
         bucket_ranges: dict[int, tuple] = {}
@@ -756,6 +762,7 @@ class TransactionalTable:
         stats = {
             "merge_path": merge_path,
             "n_upserts": n_batch,
+            "n_upserts_estimated": n_batch_estimated,
             "buckets_touched": len(affected),
             "files_rewritten": len(touched),
             "files_added": len(new_files),

@@ -92,6 +92,84 @@ def test_null_key_upsert_converges_despite_file_pruning(spark, tmp_table_path):
     assert final[0]["text"] == "new-null"
 
 
+def test_progress_fold_is_timestamp_resolution_independent():
+    """ADVICE r2 (low): the stateful operator assumed Arrow hands
+    datetime64[ns]; under pandas 2.x us-resolution frames the epoch
+    conversion was off by 1000×. The fold must yield identical µs for
+    ns- and µs-resolution inputs."""
+    import pandas as pd
+
+    from nifi_processors_spark.streaming.stateful import _fold_progress
+
+    ts = pd.Timestamp("2024-03-01 12:00:00.123456")
+    for unit in ("ns", "us"):
+        pdf = pd.DataFrame(
+            {"seq": [7], "ts": pd.Series([ts]).astype(f"datetime64[{unit}]")}
+        )
+        n, mx, ts_us = _fold_progress(0, None, None, pdf)
+        assert (n, mx) == (1, 7)
+        assert ts_us == ts.value // 1000, unit
+
+
+def test_latest_refuses_fresh_snapshot_on_existing_checkpoint(
+    spark, tmp_path
+):
+    """ADVICE r2 (low): flipping earliest→latest on a checkpoint that
+    already committed offsets (or restoring one without the snapshot
+    sidecar) silently skipped events delivered while the stream was
+    down. The source must refuse loudly instead."""
+    import pytest
+
+    from nifi_processors_spark.config import EngineConfig
+    from nifi_processors_spark.sources.binlog import read_binlog_stream
+
+    binlog = tmp_path / "binlog"
+    ckpt = tmp_path / "ckpt"
+    binlog.mkdir()
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "offsets" / "0").write_text("{}")
+    cfg = EngineConfig(
+        binlog_dir=str(binlog),
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(ckpt),
+        source_id="s",
+        initial_position="latest",
+    )
+    with pytest.raises(RuntimeError, match="refusing"):
+        read_binlog_stream(spark, cfg)
+
+
+def test_hint_derived_upsert_count_is_flagged_estimate(
+    spark, tmp_table_path
+):
+    """ADVICE r2 (low): when the bulk path is chosen via
+    upper_rows_hint (raw pre-validation rows), n_upserts is an upper
+    bound — stats must say so, so the rate limiter can pace on the
+    true applied count."""
+    from nifi_processors_spark.schema import (
+        KEY_COLS, LWW_COLS, TRANSCRIPTS_SCHEMA,
+    )
+    from nifi_processors_spark.synth import SynthSpec, generate_events
+    from nifi_processors_spark.table import TransactionalTable
+
+    ev = generate_events(
+        SynthSpec(n_conversations=40, turns_per_conv=4, n_shards=2, seed=3)
+    )
+    df = spark.createDataFrame(ev.drop(columns=["arrival_idx"]))
+    t = TransactionalTable.create(
+        spark, tmp_table_path, TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS,
+        n_buckets=4,
+    )
+    st = t.merge(
+        df, "s", 0, broadcast_threshold=10, upper_rows_hint=1_000_000
+    )
+    assert st["n_upserts_estimated"] is True
+    assert st["n_upserts"] == 1_000_000  # the documented upper bound
+    st2 = t.merge(df, "s", 1)
+    assert st2["n_upserts_estimated"] is False
+    assert st2["n_upserts"] == len(ev)
+
+
 def test_zero_row_oracles_now_discriminate(spark):
     """Round-2 VERDICT "What's wrong" #3: doc_ngram_jaccard and
     q22_no_order_customers returned zero rows at every scale, passing
