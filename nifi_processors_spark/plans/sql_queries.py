@@ -923,6 +923,71 @@ def _ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin(cells).createOrReplaceTempView("ivf_cells")
     return spark.sql(render(search_tpl.format(cells="ivf_cells"), "spark"))
 
+# --------------------------------------------------------------------------
+# multimodal: synthesize media payloads, REAL decode, integer stats
+# --------------------------------------------------------------------------
+
+#: closed-form expectations for the synthetic media corpus
+#: (operators/multimodal.synth_media): pixel(r,c,k) = (7d+3r+5c+11k)%256
+#: for images (w=8+d%8, h=4+d%4; BMP for d%4==0, PPM for d%4==2),
+#: sample(i) = ((31d+17i)%4096)−2048 for audio (n=64+d%64). The Spark
+#: side ENCODES real PPM/BMP/WAV bytes then DECODES them back with the
+#: pure-numpy/stdlib codecs — a decoder layout bug (BGR order kept,
+#: bottom-up rows unflipped, row padding miscounted, header length
+#: wrong) changes first_val/sum_val and fails this gate. All outputs
+#: integer: no float-rounding hazard across engines.
+MEDIA_DECODE_ORACLE_TPL = """
+WITH img AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+img_r AS (SELECT doc_id, w, h, @EXPLODE(@SEQ(0; h - 1)@)@ AS r FROM img),
+img_rc AS (SELECT doc_id, w, h, r, @EXPLODE(@SEQ(0; w - 1)@)@ AS c FROM img_r),
+img_px AS (
+  SELECT doc_id, w, h, (7*doc_id + 3*r + 5*c + 11*k) % 256 AS v
+  FROM (SELECT doc_id, w, h, r, c, @EXPLODE(@SEQ(0; 2)@)@ AS k FROM img_rc) t
+),
+img_stats AS (
+  SELECT doc_id AS media_id, 'image' AS kind,
+         cast(w AS int) AS width, cast(h AS int) AS height,
+         cast(w * h * 3 AS bigint) AS n_units,
+         cast((7*doc_id) % 256 AS bigint) AS first_val,
+         @BSUM(v)@ AS sum_val
+  FROM img_px GROUP BY doc_id, w, h
+),
+aud AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+aud_s AS (
+  SELECT doc_id, n, ((31*doc_id + 17*i) % 4096) - 2048 AS v
+  FROM (SELECT doc_id, n, @EXPLODE(@SEQ(0; n - 1)@)@ AS i FROM aud) t
+),
+aud_stats AS (
+  SELECT doc_id AS media_id, 'audio' AS kind,
+         cast(NULL AS int) AS width, cast(NULL AS int) AS height,
+         cast(n AS bigint) AS n_units,
+         cast((31*doc_id) % 4096 - 2048 AS bigint) AS first_val,
+         @BSUM(v)@ AS sum_val
+  FROM aud_s GROUP BY doc_id, n
+)
+SELECT * FROM img_stats UNION ALL SELECT * FROM aud_stats
+"""
+
+
+def _media_decode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → decode → stats through the real codec path
+    (operators/multimodal): two Arrow-batched mapInPandas stages over
+    the documents seeds. ≙ the reference's opaque-content passthrough
+    (GET:256-257) upgraded to an interpreted payload."""
+    from nifi_processors_spark.operators.multimodal import (
+        media_stats, synth_media,
+    )
+
+    tables = load_tables(spark, sf_dir, ["documents"])
+    return media_stats(synth_media(tables["documents"]))
+
+
 def _emb_cosine_topk_blocked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The matmul-blocked mapInPandas scale path
     (operators/similarity.cosine_topk_blocked) on the SAME probe set as
@@ -1011,6 +1076,11 @@ QUERIES["emb_cosine_topk_blocked"] = (
     render(EMB_COSINE_TOPK_TPL, "duckdb"),
 )
 QUERIES["emb_ivf_ann_topk"] = (_ivf_spark, _ivf_oracle())
+#: real PPM/BMP/WAV decode, gated against closed-form integer stats
+QUERIES["media_decode_features"] = (
+    _media_decode_spark,
+    render(MEDIA_DECODE_ORACLE_TPL, "duckdb"),
+)
 
 #: relational breadth (events + TPC-H shapes) registers AFTER the
 #: LLM-pipeline operators — see the ordering note above _TEMPLATED.

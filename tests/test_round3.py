@@ -170,6 +170,33 @@ def test_hint_derived_upsert_count_is_flagged_estimate(
     assert st2["n_upserts"] == len(ev)
 
 
+def test_media_codecs_roundtrip_and_detect_layout():
+    """Real (library-free) codecs: PPM/BMP/WAV roundtrip exactly, and
+    the BMP decoder undoes BGR + bottom-up + row padding (an image
+    asymmetric in both axes distinguishes every layout mistake)."""
+    import numpy as np
+
+    from nifi_processors_spark.operators.multimodal import (
+        _synth_audio, _synth_image, decode_bmp, decode_ppm, decode_wav,
+        encode_bmp, encode_ppm, encode_wav,
+    )
+
+    for d in (0, 2, 6, 10, 98, 498):
+        img = _synth_image(d)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    for d in (1, 3, 63, 499):
+        s = _synth_audio(d)
+        out, rate = decode_wav(encode_wav(s, 8000))
+        assert rate == 8000 and np.array_equal(out, s)
+
+    # an odd-width image forces nonzero BMP row padding; asymmetric
+    # content means flipped rows / kept-BGR would differ at [0,0]
+    img = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    assert (5 * 3) % 4 != 0
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
 def test_zero_row_oracles_now_discriminate(spark):
     """Round-2 VERDICT "What's wrong" #3: doc_ngram_jaccard and
     q22_no_order_customers returned zero rows at every scale, passing
