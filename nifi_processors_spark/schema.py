@@ -86,15 +86,72 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+class SchemaEvolutionError(TypeError):
+    """A batch tried to change a column's type in a way the table
+    cannot represent losslessly (narrowing or incompatible kinds)."""
+
+
+#: safe widening lattices (Iceberg's evolution rules): within each
+#: chain a later type represents every value of an earlier one exactly
+_INT_CHAIN = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_FLOAT_CHAIN = {"float": 0, "double": 1}
+
+
+def widen_type(base: T.DataType, new: T.DataType, col: str) -> T.DataType:
+    """The narrower-to-wider resolution of two column types: identical
+    → unchanged; both in a widening chain → the wider one (int→long,
+    float→double; integers promote to floats); anything else —
+    narrowing or cross-kind (string↔int, timestamp↔long) — raises
+    loudly instead of silently down-casting (which truncated before
+    this existed)."""
+    if base == new:
+        return base
+    a, b = base.typeName(), new.typeName()
+    # an all-null batch column arrives as NullType (void) — it carries
+    # no type information and fits any base; a void base adopts the
+    # first concrete type it sees
+    if b == "void":
+        return base
+    if a == "void":
+        return new
+    if a in _INT_CHAIN and b in _INT_CHAIN:
+        return base if _INT_CHAIN[a] >= _INT_CHAIN[b] else new
+    if a in _FLOAT_CHAIN and b in _FLOAT_CHAIN:
+        return base if _FLOAT_CHAIN[a] >= _FLOAT_CHAIN[b] else new
+    if a in _INT_CHAIN and b in _FLOAT_CHAIN:
+        return new
+    if b in _INT_CHAIN and a in _FLOAT_CHAIN:
+        return base
+    raise SchemaEvolutionError(
+        f"column {col!r}: cannot evolve {a} -> {b}; only widening "
+        "(byte<short<int<long, float<double, int->float) is supported"
+    )
+
+
 def schema_union(base: T.StructType, extra: T.StructType) -> T.StructType:
     """Union-by-name schema evolution: fields of ``base`` keep their
-    position/type; new fields from ``extra`` are appended nullable.
+    position; new fields from ``extra`` are appended nullable; a field
+    present in both WIDENS to the wider type (int→long, float→double)
+    and rejects any narrowing/incompatible change loudly.
 
     This is the engine's analogue of Iceberg schema merge / the
-    reference's schema-free FlowFile payload (GET:256-257).
+    reference's schema-free FlowFile payload (GET:256-257). Widening
+    is sound end-to-end because Spark's vectorized parquet reader
+    upcasts old files' physical int32/float pages into the widened
+    long/double read schema.
     """
+    by_name = {f.name: f for f in extra.fields}
+    fields = [
+        T.StructField(
+            f.name,
+            widen_type(f.dataType, by_name[f.name].dataType, f.name)
+            if f.name in by_name
+            else f.dataType,
+            f.nullable,
+        )
+        for f in base.fields
+    ]
     names = {f.name for f in base.fields}
-    fields = list(base.fields)
     for f in extra.fields:
         if f.name not in names:
             fields.append(T.StructField(f.name, f.dataType, True))

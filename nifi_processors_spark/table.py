@@ -100,6 +100,13 @@ class TransactionalTable:
             "lww_cols": lww_cols or ["ts"],
             "n_buckets": n_buckets,
             "bucket_cols": bucket_cols or list(key_cols),
+            # hash integer bucket cols as LONG / floats as DOUBLE from
+            # day one (Iceberg's bucket-transform rule): type WIDENING
+            # of a key column then never moves keys between buckets
+            # (xxhash64 is type-sensitive: hash(int 5) ≠ hash(long 5)).
+            # Tables created before this marker keep the legacy raw
+            # hash — _bucket_expr must never change for live files.
+            "bucket_hash": "widened",
             "merge_strategy": merge_strategy,
             "files": [],
             "lineage_files": [],
@@ -250,12 +257,32 @@ class TransactionalTable:
         pruning still works: any batch key hashes to exactly one
         bucket."""
         cols = bucket_cols
-        if cols is None:
-            try:
-                cols = self.manifest().get("bucket_cols") or ["conv_id", "turn_idx"]
-            except FileNotFoundError:
-                cols = ["conv_id", "turn_idx"]
-        return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
+        hash_mode, schema = "legacy", None
+        try:
+            m = self.manifest()
+            if cols is None:
+                cols = m.get("bucket_cols") or ["conv_id", "turn_idx"]
+            hash_mode = m.get("bucket_hash", "legacy")
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+        except FileNotFoundError:
+            cols = cols or ["conv_id", "turn_idx"]
+        exprs = []
+        for c in cols:
+            e = F.col(c)
+            if hash_mode == "widened" and schema is not None:
+                tn = next(
+                    (f.dataType.typeName() for f in schema.fields if f.name == c),
+                    None,
+                )
+                # canonical hash width per chain: int→long / float→
+                # double is value-stable, so widening a key column's
+                # type never re-buckets existing files
+                if tn in ("byte", "short", "integer", "long"):
+                    e = e.cast("long")
+                elif tn in ("float", "double"):
+                    e = e.cast("double")
+            exprs.append(e)
+        return F.pmod(F.xxhash64(*exprs), F.lit(n_buckets)).cast("int")
 
     @staticmethod
     def _file_key_stats(abs_path: str, key_col: str):
@@ -779,8 +806,9 @@ class TransactionalTable:
             "lww_cols": m["lww_cols"],
             "n_buckets": n_buckets,
             # MUST carry through every commit: files are placed by this
-            # hash — losing it would silently re-bucket the table
+            # hash — losing either key would silently re-bucket the table
             "bucket_cols": bcols,
+            "bucket_hash": m.get("bucket_hash", "legacy"),
             "merge_strategy": strategy,
             "files": kept + new_files,
             "lineage_files": lineage_files,
@@ -915,23 +943,108 @@ class TransactionalTable:
                         entry["min_key"], entry["max_key"] = kmin, kmax
                     new_files.append(entry)
         kept = [f for f in m["files"] if f["bucket"] not in frag]
+        # fold lineage: streaming deployments add one tiny lineage file
+        # per micro-batch — left alone the manifest's lineage_files list
+        # (and the file count) grows linearly forever. Compaction
+        # rewrites them as ONE file (driver-side pyarrow: a few rows per
+        # batch, no Spark job).
+        lineage_files = list(m.get("lineage_files", []))
+        folded_lineage = None
+        if len(lineage_files) > 1:
+            folded_lineage = self._fold_lineage(lineage_files, version)
+            if folded_lineage is not None:
+                lineage_files = [folded_lineage]
         manifest = {
             **m,
             "version": version,
             "files": kept + new_files,
+            "lineage_files": lineage_files,
             "parent": m["version"],
             "stats": {
                 "compacted_buckets": len(frag),
                 "files_before": sum(len(v) for v in frag.values()),
                 "files_after": len(new_files),
+                "lineage_folded": folded_lineage is not None,
             },
         }
         try:
             self._commit_manifest(manifest)
         except ConcurrentCommitError:
             shutil.rmtree(commit_dir, ignore_errors=True)
+            if folded_lineage is not None:
+                try:
+                    os.remove(os.path.join(self.path, folded_lineage))
+                except OSError:
+                    pass
             raise
         return {"skipped": False, "version": version, **manifest["stats"]}
+
+    def _fold_lineage(self, lineage_files: list[str], version: int) -> str | None:
+        """Concatenate all lineage parquet files into one (driver-side
+        pyarrow). Returns the new file's table-relative path, or None
+        when any input is unreadable (keep the originals then)."""
+        try:
+            import pyarrow.parquet as pq
+
+            tables = [
+                pq.read_table(os.path.join(self.path, rel))
+                for rel in lineage_files
+            ]
+            import pyarrow as pa
+
+            folded = pa.concat_tables(tables, promote_options="default")
+            rel_dir = os.path.join(
+                "lineage", f"compact-{version:012d}-{uuid.uuid4().hex[:8]}"
+            )
+            os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
+            rel = os.path.join(rel_dir, "part-00000.parquet")
+            pq.write_table(folded, os.path.join(self.path, rel))
+            return rel
+        except Exception:
+            return None
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Retention: drop manifest JSONs older than the newest
+        ``keep_last`` versions and delete data/lineage files no
+        retained manifest references. Bounds on-disk growth for
+        fine-grained streaming deployments (1000s of micro-batches);
+        time travel remains available within the retained window.
+        Maintenance op — run from the (single) table owner, like
+        compact(); it never touches files the current manifest needs."""
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(self._log_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        if len(versions) <= keep_last:
+            return {"skipped": True, "reason": "nothing to expire"}
+        retained, expired = versions[-keep_last:], versions[:-keep_last]
+        referenced: set[str] = set()
+        for v in retained:
+            mv = self.manifest(v)
+            referenced.update(f["path"] for f in mv["files"])
+            referenced.update(mv.get("lineage_files", []))
+        removed_files = 0
+        for sub in ("data", "lineage"):
+            base = os.path.join(self.path, sub)
+            if not os.path.isdir(base):
+                continue
+            for root, _dirs, files in os.walk(base, topdown=False):
+                for fn in files:
+                    abs_p = os.path.join(root, fn)
+                    if os.path.relpath(abs_p, self.path) not in referenced:
+                        os.remove(abs_p)
+                        removed_files += 1
+                if not os.listdir(root):
+                    os.rmdir(root)
+        for v in expired:
+            os.remove(self._manifest_path(v))
+        return {
+            "skipped": False,
+            "expired_manifests": len(expired),
+            "removed_files": removed_files,
+            "retained_versions": retained,
+        }
 
     # --------------------------------------------------------- append
 
