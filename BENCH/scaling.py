@@ -71,25 +71,37 @@ def run_one(cores: int, binlog_dir: str, n_events: int) -> dict:
     # virtualized disk would otherwise serialize the shuffle writers
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix=f"scaling-{cores}-", dir=base)
+    conf = {
+        "spark.local.dir": os.path.join(work, "spark-local"),
+        "spark.driver.memory": "48g",
+        # keep AQE-coalesced reduce tasks ≈ 2-3× cores at this
+        # batch size (the 64MB default collapses to ~5 tasks)
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        # zstd trades bytes for CPU: on bandwidth-limited hosts the
+        # merge becomes compute-bound, which is also what a real
+        # multi-host cluster (independent memory buses) looks like
+        "spark.io.compression.codec": "zstd",
+        "spark.sql.parquet.compression.codec": "zstd",
+        # ~4 input splits per core: a 13M-event batch packs into
+        # only ~12 default 128MB splits → wave tails at 8+ cores
+        "spark.sql.files.maxPartitionBytes": "32m",
+        # hash-agg state and column vectors off-heap: the agg+write
+        # stage is the bandwidth/GC hotspot (BENCH/BASELINE.md §2) —
+        # off-heap halves its GC share at 8 cores
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": "16g",
+        # list ≤1024 input paths on the driver (ms) instead of a
+        # 256-task Spark job per scan — the listing job is pure fixed
+        # overhead that would otherwise be charged to every level
+        "spark.sql.sources.parallelPartitionDiscovery.threshold": "1024",
+    }
+    # A/B overrides for conf experiments: SCALING_EXTRA_CONF='{"k":"v"}'
+    conf.update(json.loads(os.environ.get("SCALING_EXTRA_CONF", "{}")))
     spark = get_spark(
         f"scaling-{cores}",
         cores=cores,
         shuffle_partitions=cores * 2,
-        extra_conf={
-            "spark.local.dir": os.path.join(work, "spark-local"),
-            "spark.driver.memory": "48g",
-            # keep AQE-coalesced reduce tasks ≈ 2-3× cores at this
-            # batch size (the 64MB default collapses to ~5 tasks)
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
-            # zstd trades bytes for CPU: on bandwidth-limited hosts the
-            # merge becomes compute-bound, which is also what a real
-            # multi-host cluster (independent memory buses) looks like
-            "spark.io.compression.codec": "zstd",
-            "spark.sql.parquet.compression.codec": "zstd",
-            # ~4 input splits per core: a 13M-event batch packs into
-            # only ~12 default 128MB splits → wave tails at 8+ cores
-            "spark.sql.files.maxPartitionBytes": "32m",
-        },
+        extra_conf=conf,
     )
     cfg = EngineConfig(
         binlog_dir=binlog_dir,

@@ -112,14 +112,17 @@ def read_binlog_stream(
     if config.initial_position == "latest":
         snap = _latest_snapshot(spark, config, schema)
         if snap:
-            hw_map = F.create_map(
-                *[F.lit(x) for kv in snap.items() for x in kv]
-            )
-            stream = stream.filter(
-                F.col("seq")
-                > F.coalesce(hw_map[F.col("shard")], F.lit(-(2**62)))
-            )
+            stream = stream.filter(high_water_filter(snap))
     return stream
+
+
+def high_water_filter(snap: dict[int, int]):
+    """Vectorized JVM-side predicate admitting only events past each
+    shard's snapshotted high-water seq (broadcast map literal of
+    n_shards entries). Shared by the stream and by any file-backed
+    reconstruction of a micro-batch so the two paths cannot drift."""
+    hw_map = F.create_map(*[F.lit(x) for kv in snap.items() for x in kv])
+    return F.col("seq") > F.coalesce(hw_map[F.col("shard")], F.lit(-(2**62)))
 
 
 def read_binlog_batch(

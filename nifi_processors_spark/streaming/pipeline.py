@@ -92,12 +92,87 @@ class CdcPipeline:
 
     # ------------------------------------------------------ micro-batch
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
+    def _file_backed_batch(self, batch_id: int) -> DataFrame | None:
+        """Rebuild the micro-batch as a genuine file scan.
+
+        Spark 4's foreachBatch hands the batch as a row-based
+        ``Scan ExistingRDD`` wrapper: ``inputFiles()`` is empty, parquet
+        footers are unreachable, column pruning is lost, and every
+        action re-decodes all ten columns. Measured on the 13.4M-event
+        scaling replay that wrapper costs TWO redundant full decodes
+        per micro-batch — a CollectLimit job for the empty-batch check
+        and the merge's pre-count aggregate (the footer-rows hint can
+        never engage) — ~10 s of a 46 s four-core batch.
+
+        The file source's own commit log (checkpoint/sources/0/<id>)
+        records exactly which files belong to this batch (`v1` header +
+        one JSON per line; compacted logs carry older batches' entries
+        tagged with their batchId). Re-reading those files with the
+        stream's declared schema is the SAME data with a columnar,
+        prunable, footer-countable plan. Returns None on any surprise
+        (second source, missing log, unknown format) — callers fall
+        back to the engine-provided frame."""
+        import json as _json
+        import os as _os
+
+        cfg = self.config
+        src_root = _os.path.join(cfg.checkpoint_dir, "sources")
+        try:
+            if not _os.path.isdir(src_root) or sorted(
+                d for d in _os.listdir(src_root) if not d.startswith(".")
+            ) != ["0"]:
+                return None
+            log = _os.path.join(src_root, "0", str(batch_id))
+            if not _os.path.exists(log):
+                log = _os.path.join(src_root, "0", f"{batch_id}.compact")
+                if not _os.path.exists(log):
+                    return None
+            paths = []
+            with open(log) as f:
+                if f.readline().strip() != "v1":
+                    return None
+                for line in f:
+                    if not line.startswith("{"):
+                        continue
+                    e = _json.loads(line)
+                    if int(e.get("batchId", batch_id)) == batch_id:
+                        paths.append(e["path"])
+            if not paths:
+                return None
+            reader = self.spark.read.schema(CHANGE_EVENTS_SCHEMA)
+            df = (
+                reader.json(paths)
+                if cfg.binlog_format == "json"
+                else reader.parquet(*paths)
+            )
+            if cfg.initial_position == "latest":
+                snap_path = _os.path.join(
+                    cfg.checkpoint_dir, "initial_position_snapshot.json"
+                )
+                with open(snap_path) as f:  # must exist for a live stream
+                    snap = {int(k): int(v) for k, v in _json.load(f).items()}
+                if snap:
+                    from nifi_processors_spark.sources.binlog import (
+                        high_water_filter,
+                    )
+
+                    df = df.filter(high_water_filter(snap))
+            return df
+        except Exception:
+            return None
+
+    def apply_batch(
+        self, batch_df: DataFrame, batch_id: int, from_stream: bool = False
+    ) -> dict:
         """The foreachBatch body. Idempotent per (source_id, batch_id)."""
         import time as _time
 
         batch_t0 = _time.monotonic()
         cfg = self.config
+        if from_stream:
+            recovered = self._file_backed_batch(batch_id)
+            if recovered is not None:
+                batch_df = recovered
         if cfg.skip_empty_batches and not batch_df.inputFiles() and batch_df.isEmpty():
             # ≙ withCallProcessRecordsEvenForEmptyRecordList(false)
             # inverted default (ACP:133-140, GET:164). File-backed
@@ -274,7 +349,7 @@ class CdcPipeline:
         stream = read_binlog_stream(self.spark, cfg, CHANGE_EVENTS_SCHEMA)
         writer = (
             stream.writeStream.foreachBatch(
-                lambda df, bid: self.apply_batch(df, bid)
+                lambda df, bid: self.apply_batch(df, bid, from_stream=True)
             )
             .option("checkpointLocation", cfg.checkpoint_dir)
             .queryName(f"cdc-{cfg.source_id}")

@@ -423,6 +423,45 @@ def test_continuous_trigger_processing_time(spark, tmp_path):
     )
 
 
+def test_file_backed_batch_recovery(spark, tmp_path):
+    """Spark 4's foreachBatch hands micro-batches as row-based
+    ExistingRDD wrappers (inputFiles() empty → footer hints dead, a
+    redundant decode per batch). The pipeline rebuilds each batch from
+    the file source's own commit log; the rebuilt frame must be
+    file-backed and hold exactly the batch's rows."""
+    import os
+
+    from nifi_processors_spark.config import EngineConfig
+    from nifi_processors_spark.streaming.pipeline import CdcPipeline
+    from nifi_processors_spark.synth import SynthSpec, make_fixture
+
+    binlog = str(tmp_path / "binlog")
+    events, expected, _ = make_fixture(
+        binlog, SynthSpec(n_conversations=20, turns_per_conv=3, n_shards=2, seed=8)
+    )
+    cfg = EngineConfig(
+        binlog_dir=binlog,
+        table_path=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dead_letter_path=str(tmp_path / "dlq"),
+        source_id="fb",
+        max_files_per_trigger=5,
+    )
+    p = CdcPipeline(spark, cfg)
+    p.run_once()
+    n_batches = len(os.listdir(os.path.join(str(tmp_path / "ckpt"), "sources", "0")))
+    recovered_total = 0
+    for bid in range(n_batches):
+        df = p._file_backed_batch(bid)
+        if df is None:
+            continue
+        assert df.inputFiles(), "recovered batch must be file-backed"
+        recovered_total += df.count()
+    assert recovered_total == len(events)
+    # unknown batch id → clean fallback
+    assert p._file_backed_batch(10_000) is None
+
+
 def test_zero_row_oracles_now_discriminate(spark):
     """Round-2 VERDICT "What's wrong" #3: doc_ngram_jaccard and
     q22_no_order_customers returned zero rows at every scale, passing
