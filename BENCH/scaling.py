@@ -121,7 +121,17 @@ def run_one(cores: int, binlog_dir: str, n_events: int) -> dict:
         # plan for batches this size and scales with cores)
         merge_broadcast_threshold=300_000,
     )
-    pipe = CdcPipeline(spark, cfg)
+    # SCALING_REDACT=1 measures the FULL product path of the north
+    # star — validate → vectorized Arrow/pandas PII-redaction rewrite →
+    # LWW merge — instead of merge-only; the rewrite stage raises the
+    # job's compute/byte ratio (closer to real transcript pipelines,
+    # which always carry per-record transform logic)
+    transform = None
+    if os.environ.get("SCALING_REDACT", "0") == "1":
+        from nifi_processors_spark.functions.rewrite import make_transform
+
+        transform = make_transform(redact=True)
+    pipe = CdcPipeline(spark, cfg, transform=transform)
     t0 = time.perf_counter()
     pipe.run_once(timeout_s=3600)
     elapsed = time.perf_counter() - t0

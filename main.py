@@ -44,6 +44,13 @@ def parse_args(argv=None):
     ap.add_argument("--shuffle-partitions", type=int, default=64)
     ap.add_argument("--metrics-granularity", default="shard",
                     choices=["shard", "stream", "global"])
+    ap.add_argument("--metrics-level", default="summary",
+                    choices=["none", "summary", "detailed"],
+                    help="buffered telemetry detail (lineage rows are "
+                         "always committed regardless)")
+    ap.add_argument("--metrics-buffer-secs", type=float, default=10.0)
+    ap.add_argument("--metrics-path", default="",
+                    help="JSONL telemetry sink; empty = log only")
     ap.add_argument("--initial-position", default="earliest",
                     choices=["earliest", "latest"],
                     help="earliest=TRIM_HORIZON replay; latest=skip events "
@@ -89,6 +96,9 @@ def main(argv=None) -> None:
         salt_buckets=args.salt_buckets,
         shuffle_partitions=args.shuffle_partitions,
         metrics_granularity=args.metrics_granularity,
+        metrics_level=args.metrics_level,
+        metrics_buffer_secs=args.metrics_buffer_secs,
+        metrics_path=args.metrics_path,
         initial_position=args.initial_position,
         merge_strategy=args.merge_strategy,
         put_rate_limit_events_per_sec=args.put_rate_limit,

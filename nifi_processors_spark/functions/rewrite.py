@@ -13,9 +13,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: redaction patterns applied JVM-side (codegen'd regexp_replace)
+#: Redaction patterns applied JVM-side (codegen'd regexp_replace), in
+#: order — broader/structured classes first so e.g. a URL swallows the
+#: credentials inside it before the email pattern sees them, and an IP
+#: claims its digit runs before the phone pattern can. Every pattern
+#: must be valid in BOTH Java regex and RE2 (the DuckDB oracle renders
+#: the same list — plans/cdc_queries._rewrite_oracle), so: ASCII
+#: classes only, no backrefs, no lookarounds, no single quotes.
 REDACTIONS = [
+    (r"https?://[^\s]+", "<URL>"),
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+        r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<UUID>",
+    ),
+    (r"(?i)bearer +[A-Za-z0-9._-]{8,}", "<TOKEN>"),
+    (r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "<IBAN>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     (r"\b\d{3}[- .]?\d{3}[- .]?\d{4}\b", "<PHONE>"),
     (r"\b\d{13,19}\b", "<CARDNUM>"),
 ]

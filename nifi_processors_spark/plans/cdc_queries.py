@@ -294,6 +294,13 @@ FROM e GROUP BY shard
 #: deterministic PII injection appended to every 7th event's text so
 #: the redaction operator provably fires on all three pattern classes
 _PII_SUFFIX = "' contact user' || seq || '@example.com or 555-123-4567 card 4111111111111111'"
+#: second injected class set (URL / IP / SSN / UUID / bearer / IBAN) —
+#: exercises the structured-identifier half of the REDACTIONS library
+_PII_SUFFIX2 = (
+    "' see https://ex.com/a?b=c from 10.0.42.7 ssn 123-45-6789 id "
+    "123e4567-e89b-42d3-a456-426614174000 auth bearer abcDEF1234._x "
+    "acct GB82WEST12345698765432'"
+)
 
 
 def cdc_content_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,7 +318,19 @@ def cdc_content_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text"), F.lit(" contact user"), F.col("seq"),
                 F.lit("@example.com or 555-123-4567 card 4111111111111111"),
             ),
-        ).otherwise(F.col("text")),
+        )
+        .when(
+            F.col("seq") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " see https://ex.com/a?b=c from 10.0.42.7 ssn "
+                    "123-45-6789 id 123e4567-e89b-42d3-a456-426614174000 "
+                    "auth bearer abcDEF1234._x acct GB82WEST12345698765432"
+                ),
+            ),
+        )
+        .otherwise(F.col("text")),
     )
     red = redact_text(ce)
     mark = lambda token: F.sum(  # noqa: E731
@@ -322,6 +341,12 @@ def cdc_content_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         mark("<EMAIL>").alias("n_email"),
         mark("<PHONE>").alias("n_phone"),
         mark("<CARDNUM>").alias("n_card"),
+        mark("<URL>").alias("n_url"),
+        mark("<IP>").alias("n_ip"),
+        mark("<SSN>").alias("n_ssn"),
+        mark("<UUID>").alias("n_uuid"),
+        mark("<TOKEN>").alias("n_token"),
+        mark("<IBAN>").alias("n_iban"),
     )
 
 
@@ -340,6 +365,8 @@ m AS (
   SELECT op,
          CASE WHEN seq % 7 = 0
               THEN text || {_PII_SUFFIX}
+              WHEN seq % 11 = 0
+              THEN text || {_PII_SUFFIX2}
               ELSE text END AS text
   FROM ce
 ),
@@ -347,7 +374,13 @@ r AS (SELECT op, {expr} AS text FROM m)
 SELECT op, count(*) AS n,
        cast(sum(CASE WHEN text LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS bigint) AS n_email,
        cast(sum(CASE WHEN text LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS bigint) AS n_phone,
-       cast(sum(CASE WHEN text LIKE '%<CARDNUM>%' THEN 1 ELSE 0 END) AS bigint) AS n_card
+       cast(sum(CASE WHEN text LIKE '%<CARDNUM>%' THEN 1 ELSE 0 END) AS bigint) AS n_card,
+       cast(sum(CASE WHEN text LIKE '%<URL>%' THEN 1 ELSE 0 END) AS bigint) AS n_url,
+       cast(sum(CASE WHEN text LIKE '%<IP>%' THEN 1 ELSE 0 END) AS bigint) AS n_ip,
+       cast(sum(CASE WHEN text LIKE '%<SSN>%' THEN 1 ELSE 0 END) AS bigint) AS n_ssn,
+       cast(sum(CASE WHEN text LIKE '%<UUID>%' THEN 1 ELSE 0 END) AS bigint) AS n_uuid,
+       cast(sum(CASE WHEN text LIKE '%<TOKEN>%' THEN 1 ELSE 0 END) AS bigint) AS n_token,
+       cast(sum(CASE WHEN text LIKE '%<IBAN>%' THEN 1 ELSE 0 END) AS bigint) AS n_iban
 FROM r GROUP BY op
 """
 

@@ -80,6 +80,19 @@ class CdcPipeline:
             else None
         )
         self.last_batch_stats: dict = {}
+        # buffered telemetry channel (≙ CloudWatch metric buffering,
+        # ACP:193-224) — decoupled from the atomic lineage commit
+        self.metrics = None
+        if config.metrics_enabled and config.metrics_level != "none":
+            from nifi_processors_spark.streaming.metrics import MetricsEmitter
+
+            self.metrics = MetricsEmitter(
+                level=config.metrics_level,
+                buffer_secs=config.metrics_buffer_secs,
+                queue_size=config.metrics_queue_size,
+                path=config.metrics_path,
+                namespace=config.metrics_namespace,
+            )
 
     def _ensure_table(self, path, schema, key_cols, n_buckets,
                       merge_strategy="copy-on-write"):
@@ -277,6 +290,7 @@ class CdcPipeline:
                         "max_lag_ms": vals[f"lag_{t}"],
                     }
                 )
+            holder["lineage_rows"] = rows
             return rows
 
         # footer-based row count of the RAW (pre-validation) batch — an
@@ -336,6 +350,13 @@ class CdcPipeline:
                 _time.sleep(remaining)
 
         stats = {**stats, "n_dead_letter": n_dlq}
+        if self.metrics is not None:
+            # post-commit, fire-and-forget: reuses the merge's latched
+            # Observation values (zero extra jobs); buffered + flushed
+            # on the emitter's own clock, never on the commit path
+            self.metrics.record_batch(
+                batch_id, stats, holder.get("lineage_rows")
+            )
         self.last_batch_stats = stats
         return stats
 
@@ -370,3 +391,7 @@ class CdcPipeline:
         finally:
             if q.isActive:
                 q.stop()
+            if self.metrics is not None:
+                # ≙ flushSync on shutdown (PUT:369-376) for telemetry:
+                # drain whatever the timed buffer still holds
+                self.metrics.flush()

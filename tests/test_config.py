@@ -20,7 +20,7 @@ def valid_cfg(**over):
 
 def test_property_surface_exact():
     # ≙ GT:169-191 asserting exactly 18 consumer properties
-    assert len(EngineConfig.property_names()) == 26
+    assert len(EngineConfig.property_names()) == 31
     for must in [
         "binlog_dir", "initial_position", "max_files_per_trigger",
         "n_shards", "table_path", "n_buckets", "salt_buckets",
@@ -46,6 +46,9 @@ def test_valid_config_passes():
         dict(metrics_granularity="nope"),
         dict(merge_strategy="copy-on-read"),  # not a real strategy
         dict(dead_letter_path="", fail_on_dead_letter=False),
+        dict(metrics_level="DETAILED"),  # lower-case names only
+        dict(metrics_buffer_secs=-1),
+        dict(metrics_queue_size=0),
     ],
 )
 def test_invalid_configs_raise(over):

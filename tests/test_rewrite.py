@@ -16,6 +16,11 @@ def test_redact_text_patterns(spark):
             (2, "call 555-123-4567 or 5551234567"),
             (3, "card 4111111111111111 expires"),
             (4, None),
+            (5, "docs at https://ex.com/a?b=c#d ok"),
+            (6, "host 10.0.42.7 ssn 123-45-6789"),
+            (7, "id 123e4567-e89b-42d3-a456-426614174000 sent"),
+            (8, "auth Bearer abcDEF1234._x done"),
+            (9, "acct GB82WEST12345698765432 paid"),
         ],
         "id int, text string",
     )
@@ -24,6 +29,11 @@ def test_redact_text_patterns(spark):
     assert out[2] == "call <PHONE> or <PHONE>"
     assert out[3] == "card <CARDNUM> expires"
     assert out[4] is None
+    assert out[5] == "docs at <URL> ok"
+    assert out[6] == "host <IP> ssn <SSN>"
+    assert out[7] == "id <UUID> sent"
+    assert out[8] == "auth <TOKEN> done"
+    assert out[9] == "acct <IBAN> paid"
 
 
 def test_pipeline_with_transform(spark, tmp_path):

@@ -470,3 +470,101 @@ def test_zero_row_oracles_now_discriminate(spark):
     for name in ("doc_ngram_jaccard", "q22_no_order_customers"):
         fn = sql_queries.QUERIES[name][0]
         assert fn(spark, SF_DIR).count() > 0, name
+
+
+# ----------------------------------------------------- buffered metrics
+
+
+def test_metrics_emitter_levels(tmp_path):
+    """≙ ReportCloudWatchMetricsLevel NONE/SUMMARY/DETAILED
+    (ACP:196-205): none emits nothing, summary one record per batch,
+    detailed adds one per shard slice."""
+    import json
+
+    from nifi_processors_spark.streaming.metrics import MetricsEmitter
+
+    shard_rows = [
+        {"shard": 0, "n_events": 5, "n_dead_letter": 0, "max_lag_ms": 10},
+        {"shard": 1, "n_events": 3, "n_dead_letter": 1, "max_lag_ms": 20},
+    ]
+    stats = {"n_upserts": 8, "n_dead_letter": 1, "seconds": 0.5}
+    out = {}
+    for level in ("none", "summary", "detailed"):
+        path = str(tmp_path / f"{level}.jsonl")
+        em = MetricsEmitter(level=level, buffer_secs=0, path=path)
+        em.record_batch(7, stats, shard_rows)
+        em.flush()
+        recs = []
+        import os
+
+        if os.path.exists(path):
+            recs = [json.loads(l) for l in open(path)]
+        out[level] = recs
+    assert out["none"] == []
+    assert [r["kind"] for r in out["summary"]] == ["batch"]
+    assert out["summary"][0]["n_upserts"] == 8
+    assert [r["kind"] for r in out["detailed"]] == ["batch", "shard", "shard"]
+    assert out["detailed"][2]["max_lag_ms"] == 20
+
+
+def test_metrics_emitter_buffers_by_time_and_bounds_queue():
+    """≙ metric buffering time + bounded publisher queue
+    (ACP:207-224): records buffer until buffer_secs elapses on the
+    injected clock; overflow drops the OLDEST and reports the count."""
+    from nifi_processors_spark.streaming.metrics import MetricsEmitter
+
+    now = [0.0]
+    em = MetricsEmitter(
+        level="summary", buffer_secs=10, queue_size=3, clock=lambda: now[0]
+    )
+    sink = []
+    em.flush = lambda _orig=em.flush: sink.append(_orig())  # count flushes
+
+    for b in range(5):  # queue_size=3 → batches 0,1 dropped
+        em.record_batch(b, {"n_upserts": b})
+    assert not sink, "nothing flushes before buffer_secs"
+    assert len(em._queue) == 3 and em._dropped == 2
+    assert em._queue[0]["batch_id"] == 2, "drops oldest first"
+
+    now[0] = 10.0
+    em.record_batch(5, {"n_upserts": 5})
+    assert sink, "elapsed buffer_secs triggers the flush"
+
+
+def test_pipeline_emits_buffered_metrics(spark, tmp_path):
+    """End-to-end: a replayed binlog produces detailed shard records
+    whose totals equal the committed batch stats, and run_once flushes
+    the buffer on shutdown (≙ flushSync PUT:369-376)."""
+    import json
+
+    from nifi_processors_spark.config import EngineConfig
+    from nifi_processors_spark.streaming.pipeline import CdcPipeline
+    from nifi_processors_spark.synth import SynthSpec, make_fixture
+
+    binlog = str(tmp_path / "binlog")
+    events, expected, _ = make_fixture(
+        binlog, SynthSpec(n_conversations=15, turns_per_conv=3, n_shards=2, seed=9)
+    )
+    mpath = str(tmp_path / "metrics.jsonl")
+    cfg = EngineConfig(
+        binlog_dir=binlog,
+        table_path=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dead_letter_path=str(tmp_path / "dlq"),
+        source_id="em",
+        max_files_per_trigger=64,
+        metrics_level="detailed",
+        metrics_buffer_secs=3600,  # only the shutdown flush drains it
+        metrics_path=mpath,
+    )
+    p = CdcPipeline(spark, cfg)
+    p.run_once()
+    recs = [json.loads(l) for l in open(mpath)]
+    batches = [r for r in recs if r["kind"] == "batch"]
+    shards = [r for r in recs if r["kind"] == "shard"]
+    assert batches and shards
+    assert sum(r["n_events"] for r in shards) == sum(
+        r["n_upserts"] for r in batches
+    )
+    assert {r["shard"] for r in shards} <= {0, 1}
+    assert all(r["ns"] == "cdc" for r in recs)
