@@ -340,6 +340,20 @@ class TransactionalTable:
                 p[7:] if p.startswith("file://") else p for p in df.inputFiles()
             ]
             if paths and TransactionalTable._is_bare_scan(df):
+                if len(paths) > 8:
+                    # a bulk batch spans hundreds of segment files;
+                    # footer opens are independent ~ms IO — thread them
+                    # so the driver-side estimate stays O(ms), not
+                    # O(files) serial latency on the micro-batch path
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=16) as ex:
+                        return sum(
+                            ex.map(
+                                lambda p: _pq.ParquetFile(p).metadata.num_rows,
+                                paths,
+                            )
+                        )
                 return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
         except Exception:
             pass
