@@ -195,7 +195,12 @@ def generate_events(spec: SynthSpec) -> pd.DataFrame:
     c = ev["_c"].to_numpy()
     t = ev["turn_idx"].to_numpy().astype(np.int64)
     v = ev["_ver"].to_numpy()
-    ev["conv_id"] = np.char.add("conv-", np.char.zfill(c.astype("U8"), 6))
+    # %06d, NOT np.char.zfill: zfill's output dtype is capped at the
+    # requested width and silently TRUNCATES longer values — at >1M
+    # conversations the 7-digit indices folded onto 6-digit ones,
+    # collapsing distinct keys (found at 2M-conv scaling runs). %06d
+    # pads short values identically and never truncates.
+    ev["conv_id"] = np.char.add("conv-", np.char.mod("%06d", c))
     ev["role"] = _ROLES[(t % len(_ROLES))]
     ev["text"] = _payload_text(c, t, v, spec.payload_words)
     tool_vals = _TOOLS[(c + t + v) % len(_TOOLS)]

@@ -568,3 +568,21 @@ def test_pipeline_emits_buffered_metrics(spark, tmp_path):
     )
     assert {r["shard"] for r in shards} <= {0, 1}
     assert all(r["ns"] == "cdc" for r in recs)
+
+
+def test_generator_conv_ids_unique_above_1m_conversations():
+    """np.char.zfill's output dtype is capped at the requested width
+    and silently truncates longer values: at >1M conversations the
+    7-digit indices folded onto 6-digit ones, collapsing distinct keys
+    (caught by a 2M-conv scaling run whose final table was half the
+    expected size). %06d formatting pads identically and never
+    truncates."""
+    from nifi_processors_spark.synth import SynthSpec, generate_events
+
+    ev = generate_events(
+        SynthSpec(n_conversations=1_100_000, turns_per_conv=1, n_shards=4, seed=1)
+    )
+    inserts = ev[ev["op"] == "I"]
+    assert inserts["conv_id"].nunique() == 1_100_000
+    # short ids keep the historical fixed-width format
+    assert (ev["conv_id"].str.len() >= len("conv-000000")).all()
