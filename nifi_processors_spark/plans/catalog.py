@@ -54,6 +54,16 @@ _DIALECT = {
     ),
     # explode/unnest an array column into rows
     "EXPLODE": ("explode({0})", "unnest({0})"),
+    # OUTER explode for COMPUTED arrays (shingles etc.), paired with a
+    # downstream IS NOT NULL. Plain explode triggers Spark's
+    # InferFiltersFromGenerate, which pushes a `size(arr) > 0` filter
+    # below the Generate with the array expression INLINED — for a
+    # transform() whose lambda re-derives its input per element (e.g.
+    # SHINGLES3 over split()) that filter re-evaluates split() once
+    # per element_at, turning a linear scan quadratic per document
+    # (measured 12x on sf0.1 MinHash). explode_outer is exempt from
+    # the rule; DuckDB's unnest never had the problem.
+    "EXPLODEO": ("explode_outer({0})", "unnest({0})"),
     # array length / split on single space
     "LEN": ("size({0})", "len({0})"),
     "SPLITSP": ("split({0}, ' ')", "string_split({0}, ' ')"),

@@ -502,13 +502,14 @@ _DOC_CORPUS = """
 MH_E_TPL = """
 SELECT DISTINCT doc_id, @MD5INT(s)@ AS h
 FROM (
-  SELECT doc_id, @EXPLODE(sh)@ AS s
+  SELECT doc_id, @EXPLODEO(sh)@ AS s
   FROM (
-    SELECT doc_id, @SHINGLES3(w)@ AS sh
+    SELECT /*+ REPARTITION */ doc_id, @SHINGLES3(w)@ AS sh
     FROM (SELECT doc_id, @SPLITSP(text)@ AS w FROM ({corpus}) corpus) toks
     WHERE @LEN(w)@ >= 3
   ) shl
 ) t
+WHERE s IS NOT NULL
 """
 
 #: the 6 minhash functions are UNIVERSAL hashes (a_k*h + b_k mod p,
@@ -682,10 +683,12 @@ WITH corpus AS (
   SELECT doc_id, lang, lower(trim(text)) AS text FROM documents
 ),
 toks AS (SELECT doc_id, lang, @SPLITSP(text)@ AS w FROM corpus),
-sh AS (SELECT doc_id, lang, @SHINGLES3(w)@ AS sh FROM toks WHERE @LEN(w)@ >= 3),
+sh AS (SELECT /*+ REPARTITION */ doc_id, lang, @SHINGLES3(w)@ AS sh
+       FROM toks WHERE @LEN(w)@ >= 3),
 e AS (
   SELECT DISTINCT doc_id, lang, s
-  FROM (SELECT doc_id, lang, @EXPLODE(sh)@ AS s FROM sh) t
+  FROM (SELECT doc_id, lang, @EXPLODEO(sh)@ AS s FROM sh) t
+  WHERE s IS NOT NULL
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
 probe AS (SELECT * FROM e WHERE doc_id % 5 = 0),
