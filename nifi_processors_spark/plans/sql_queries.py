@@ -712,14 +712,16 @@ WHERE cast(i.ni AS double) / (sa.n + sb.n - i.ni) >= 0.02
 #: brute-force cosine top-k for a deterministic probe set — the exact
 #: baseline every ANN variant is judged against
 EMB_COSINE_TOPK_TPL = """
-WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-           WHERE vec_id % 50 = 0),
+WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                  sqrt(@DOT(embedding; embedding)@) AS qn
+           FROM embeddings WHERE vec_id % 50 = 0),
+en AS (SELECT /*+ REPARTITION */ vec_id, embedding,
+              sqrt(@DOT(embedding; embedding)@) AS nrm
+       FROM embeddings),
 p AS (
   SELECT q.qid, e.vec_id,
-         round(@DOT(q.qv; e.embedding)@
-               / (sqrt(@DOT(q.qv; q.qv)@) * sqrt(@DOT(e.embedding; e.embedding)@)),
-               4) AS cos_sim
-  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+         round(@DOT(q.qv; e.embedding)@ / (q.qn * e.nrm), 4) AS cos_sim
+  FROM q JOIN en e ON e.vec_id <> q.qid
 ),
 r AS (
   SELECT qid, vec_id, cos_sim,
