@@ -586,3 +586,32 @@ def test_generator_conv_ids_unique_above_1m_conversations():
     assert inserts["conv_id"].nunique() == 1_100_000
     # short ids keep the historical fixed-width format
     assert (ev["conv_id"].str.len() >= len("conv-000000")).all()
+
+
+def test_file_backed_batch_recovery_json_format(spark, tmp_path):
+    """The commit-log batch rebuild must also engage for JSON-lines
+    binlogs (reader.json branch) — not silently fall back to the
+    engine-provided row frame."""
+    from nifi_processors_spark.config import EngineConfig
+    from nifi_processors_spark.streaming.pipeline import CdcPipeline
+    from nifi_processors_spark.synth import SynthSpec, generate_events
+    from tests.test_json_binlog import write_json_binlog
+
+    ev = generate_events(
+        SynthSpec(n_conversations=12, turns_per_conv=3, n_shards=2, seed=21)
+    )
+    write_json_binlog(ev, str(tmp_path / "binlog"), n_segments=4)
+    cfg = EngineConfig(
+        binlog_dir=str(tmp_path / "binlog"),
+        binlog_format="json",
+        table_path=str(tmp_path / "t"),
+        dead_letter_path=str(tmp_path / "dlq"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        source_id="fbj",
+        max_files_per_trigger=2,
+    )
+    p = CdcPipeline(spark, cfg)
+    p.run_once()
+    df = p._file_backed_batch(0)
+    assert df is not None and df.inputFiles(), "json rebuild must engage"
+    assert df.count() > 0
