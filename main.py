@@ -68,6 +68,10 @@ def parse_args(argv=None):
                     help="run on the trigger interval instead of drain-and-stop")
     ap.add_argument("--compact", action="store_true",
                     help="run table compaction after draining (batch mode only)")
+    ap.add_argument("--expire-keep-last", type=int, default=0, metavar="K",
+                    help="after draining, expire all but the last K "
+                         "snapshots and delete unreferenced files "
+                         "(0 = never expire; batch mode only)")
     return ap.parse_args(argv)
 
 
@@ -112,6 +116,10 @@ def main(argv=None) -> None:
         pipe.run_once(timeout_s=86_400)
         if args.compact:
             print(json.dumps({"compact": pipe.table.compact()}))
+        if args.expire_keep_last > 0:
+            print(json.dumps({
+                "expire": pipe.table.expire_snapshots(args.expire_keep_last)
+            }))
     print(json.dumps({"last_batch": pipe.last_batch_stats,
                       "table_version": pipe.table.current_version()}))
 

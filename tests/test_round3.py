@@ -615,3 +615,36 @@ def test_file_backed_batch_recovery_json_format(spark, tmp_path):
     df = p._file_backed_batch(0)
     assert df is not None and df.inputFiles(), "json rebuild must engage"
     assert df.count() > 0
+
+
+def test_cli_entrypoint_drains_compacts_and_expires(spark, tmp_path, capsys):
+    """The spark-submit entrypoint (main.py) end-to-end: drain a small
+    binlog, compact, expire to the last 2 snapshots — the ops surface a
+    production deployment drives."""
+    import json as _json
+
+    import main as cli
+    from nifi_processors_spark.synth import SynthSpec, make_fixture
+    from nifi_processors_spark.table import TransactionalTable
+
+    binlog = str(tmp_path / "binlog")
+    events, expected, _ = make_fixture(
+        binlog, SynthSpec(n_conversations=10, turns_per_conv=3, n_shards=2, seed=23)
+    )
+    cli.main([
+        "--binlog-dir", binlog,
+        "--table-path", str(tmp_path / "t"),
+        "--dead-letter-path", str(tmp_path / "dlq"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--max-files-per-trigger", "4",
+        "--metrics-level", "summary",
+        "--compact",
+        "--expire-keep-last", "2",
+    ])
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    keys = set()
+    for line in out:
+        keys |= set(_json.loads(line))
+    assert {"compact", "expire", "last_batch"} <= keys
+    t = TransactionalTable(spark, str(tmp_path / "t"))
+    assert t.read().count() == len(expected)
