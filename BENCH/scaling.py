@@ -161,11 +161,24 @@ def main() -> None:
 
     binlog_dir = os.path.join(tempfile.gettempdir(), f"scaling-binlog-{N_CONVS}")
     marker = os.path.join(binlog_dir, ".complete")
-    if not os.path.exists(marker):
+    # the marker carries a generator fingerprint: a cached binlog from
+    # an older generator (e.g. the pre-fix conv-id truncation above 1M
+    # conversations) must be regenerated, not silently replayed
+    from nifi_processors_spark.synth import GEN_VERSION
+
+    want_tag = f"gen{GEN_VERSION}"
+    stale = True
+    if os.path.exists(marker):
+        parts = open(marker).read().split()
+        stale = len(parts) < 2 or parts[1] != want_tag
+    if stale:
+        import shutil
+
+        shutil.rmtree(binlog_dir, ignore_errors=True)
         n = generate(binlog_dir)
         with open(marker, "w") as f:
-            f.write(str(n))
-    n_events = int(open(marker).read())
+            f.write(f"{n} {want_tag}")
+    n_events = int(open(marker).read().split()[0])
     print(f"binlog ready: {n_events} events at {binlog_dir}", file=sys.stderr)
 
     # controls FIRST, on a quiet machine — running them after the

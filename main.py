@@ -111,7 +111,14 @@ def main(argv=None) -> None:
     pipe = CdcPipeline(spark, cfg, transform=transform)
     if args.continuous:
         q = pipe.start(available_now=False)
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        finally:
+            # drain buffered telemetry on ANY exit (Ctrl-C, stream
+            # error) — the background timer covers idle periods, this
+            # covers termination (≙ flushSync on shutdown)
+            if pipe.metrics is not None:
+                pipe.metrics.close()
     else:
         pipe.run_once(timeout_s=86_400)
         if args.compact:

@@ -28,7 +28,10 @@ REDACTIONS = [
         r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
         "<UUID>",
     ),
-    (r"(?i)bearer +[A-Za-z0-9._-]{8,}", "<TOKEN>"),
+    # requires a digit in the token body: plain prose "the bearer
+    # receives ..." must NOT be destroyed (RE2 has no lookahead, so
+    # the digit requirement is written positionally)
+    (r"(?i)\bbearer +[A-Za-z._-]*\d[A-Za-z0-9._-]{6,}", "<TOKEN>"),
     (r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "<IBAN>"),
     (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),

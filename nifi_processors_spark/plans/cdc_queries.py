@@ -293,14 +293,20 @@ FROM e GROUP BY shard
 
 #: deterministic PII injection appended to every 7th event's text so
 #: the redaction operator provably fires on all three pattern classes
-_PII_SUFFIX = "' contact user' || seq || '@example.com or 555-123-4567 card 4111111111111111'"
+#: Injected PII text, single-sourced: the Spark query F.lit()s these
+#: exact Python constants and the oracle SQL embeds them as literals —
+#: editing one side cannot drift from the other.
+_PII_A = " contact user"
+_PII_B = "@example.com or 555-123-4567 card 4111111111111111"
 #: second injected class set (URL / IP / SSN / UUID / bearer / IBAN) —
 #: exercises the structured-identifier half of the REDACTIONS library
-_PII_SUFFIX2 = (
-    "' see https://ex.com/a?b=c from 10.0.42.7 ssn 123-45-6789 id "
+_PII_2 = (
+    " see https://ex.com/a?b=c from 10.0.42.7 ssn 123-45-6789 id "
     "123e4567-e89b-42d3-a456-426614174000 auth bearer abcDEF1234._x "
-    "acct GB82WEST12345698765432'"
+    "acct GB82WEST12345698765432"
 )
+_PII_SUFFIX = f"'{_PII_A}' || seq || '{_PII_B}'"
+_PII_SUFFIX2 = f"'{_PII_2}'"
 
 
 def cdc_content_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,20 +321,12 @@ def cdc_content_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("seq") % 7 == 0,
             F.concat(
-                F.col("text"), F.lit(" contact user"), F.col("seq"),
-                F.lit("@example.com or 555-123-4567 card 4111111111111111"),
+                F.col("text"), F.lit(_PII_A), F.col("seq"), F.lit(_PII_B)
             ),
         )
         .when(
             F.col("seq") % 11 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(
-                    " see https://ex.com/a?b=c from 10.0.42.7 ssn "
-                    "123-45-6789 id 123e4567-e89b-42d3-a456-426614174000 "
-                    "auth bearer abcDEF1234._x acct GB82WEST12345698765432"
-                ),
-            ),
+            F.concat(F.col("text"), F.lit(_PII_2)),
         )
         .otherwise(F.col("text")),
     )

@@ -13,10 +13,12 @@ Two metric channels exist on purpose:
   buffered, never dropped. See ``pipeline.apply_batch``.
 * **This channel** is fire-and-forget telemetry: per-batch counters
   buffered driver-side in a bounded queue and flushed to a JSON-lines
-  sink at most once per ``buffer_secs`` (or when the queue fills).
-  Overflow drops the OLDEST record and counts the drops — emission
-  must never block or fail the commit path, exactly the contract the
-  reference's background CloudWatch publisher provides.
+  sink when ``buffer_secs`` elapses — on the record path AND from a
+  background daemon timer, so an idle or continuous stream still
+  drains (≙ the reference's background CloudWatch publisher). A full
+  queue flushes too; records are dropped (oldest first, counted) only
+  if the sink itself is failing. Emission must never block or fail
+  the commit path.
 
 Levels: ``none`` emits nothing; ``summary`` one record per micro-batch
 (stream totals); ``detailed`` additionally one record per shard slice
@@ -28,6 +30,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import threading
 import time
 from collections import deque
 
@@ -40,10 +43,10 @@ METRICS_LEVELS = ("none", "summary", "detailed")
 class MetricsEmitter:
     """Driver-side bounded metric buffer with timed flush.
 
-    Single-threaded by design: ``record_batch`` is only called from the
-    foreachBatch body (micro-batches are serialized per query), so no
-    locking is needed; a flush is at most one file append.
-    """
+    ``record_batch`` is called from the foreachBatch body
+    (micro-batches are serialized per query); the background flusher
+    is a separate daemon thread, so queue and sink access are guarded
+    by one lock."""
 
     def __init__(
         self,
@@ -62,9 +65,12 @@ class MetricsEmitter:
         self.path = path
         self.namespace = namespace
         self._clock = clock
+        self._lock = threading.Lock()
         self._queue: deque = deque()
         self._dropped = 0
         self._last_flush = clock()
+        self._timer: threading.Timer | None = None
+        self._closed = False
         self.flushes = 0  # observability for tests / ops
 
     # ------------------------------------------------------------ record
@@ -83,7 +89,8 @@ class MetricsEmitter:
         """
         if self.level == "none":
             return
-        self._put(
+        self._closed = False  # a live stream re-arms a closed emitter
+        recs = [
             {
                 "ns": self.namespace,
                 "kind": "batch",
@@ -93,10 +100,10 @@ class MetricsEmitter:
                 "skipped": bool(stats.get("skipped", False)),
                 "seconds": stats.get("seconds"),
             }
-        )
+        ]
         if self.level == "detailed":
             for r in shard_rows or []:
-                self._put(
+                recs.append(
                     {
                         "ns": self.namespace,
                         "kind": "shard",
@@ -107,16 +114,52 @@ class MetricsEmitter:
                         "max_lag_ms": r.get("max_lag_ms"),
                     }
                 )
-        if self._clock() - self._last_flush >= self.buffer_secs:
+        with self._lock:
+            for rec in recs:
+                self._put_locked(rec)
+            due = self._clock() - self._last_flush >= self.buffer_secs
+        if due:
             self.flush()
+        self._ensure_timer()
 
-    def _put(self, rec: dict) -> None:
+    def _put_locked(self, rec: dict) -> None:
         if len(self._queue) >= self.queue_size:
-            # ≙ the reference's bounded publisher queue: newest data is
-            # the most valuable for telemetry, drop the oldest
+            # queue pressure: a healthy sink should absorb the buffer
+            # rather than lose records — flush in place (we hold the
+            # lock; _flush_locked writes and resets)
+            self._flush_locked()
+        if len(self._queue) >= self.queue_size:
+            # sink failing: drop the OLDEST (newest telemetry is the
+            # most valuable), and count the loss
             self._queue.popleft()
             self._dropped += 1
         self._queue.append(rec)
+
+    # -------------------------------------------------- background timer
+
+    def _ensure_timer(self) -> None:
+        """Arm a daemon timer so buffered records drain even when no
+        further batches arrive (idle stream, continuous trigger) — the
+        analogue of the reference's background publisher thread."""
+        if self.buffer_secs <= 0:
+            return
+        with self._lock:
+            if self._closed or (self._timer is not None and self._timer.is_alive()):
+                return
+            t = threading.Timer(self.buffer_secs, self._timer_tick)
+            t.daemon = True
+            self._timer = t
+            t.start()
+
+    def _timer_tick(self) -> None:
+        try:
+            self.flush()
+        finally:
+            with self._lock:
+                self._timer = None
+                empty = not self._queue
+            if not empty:
+                self._ensure_timer()
 
     # ------------------------------------------------------------- flush
 
@@ -125,15 +168,17 @@ class MetricsEmitter:
 
         Never raises: telemetry failure must not abort the stream
         (≙ the reference logs-and-continues on CloudWatch errors)."""
+        with self._lock:
+            return self._flush_locked()
+
+    def _flush_locked(self) -> int:
         if not self._queue and not self._dropped:
             return 0
         recs = list(self._queue)
-        self._queue.clear()
         if self._dropped:
             recs.append(
                 {"ns": self.namespace, "kind": "dropped", "count": self._dropped}
             )
-            self._dropped = 0
         try:
             if self.path:
                 os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
@@ -143,8 +188,24 @@ class MetricsEmitter:
             else:
                 for r in recs:
                     log.info("metric %s", r)
-        except Exception:  # pragma: no cover - sink failure is non-fatal
+        except Exception:
+            # sink failure is non-fatal; the queue and drop counter
+            # stay UNTOUCHED so a recovered sink gets everything and a
+            # persistently failing one sheds oldest-first via _put
             log.warning("metric flush failed (%d records)", len(recs))
+            return 0
+        self._queue.clear()
+        self._dropped = 0
         self._last_flush = self._clock()
         self.flushes += 1
         return len(recs)
+
+    def close(self) -> None:
+        """Final drain + stop the background timer (≙ flushSync on
+        shutdown, PUT:369-376)."""
+        with self._lock:
+            self._closed = True
+            if self._timer is not None:
+                self._timer.cancel()
+                self._timer = None
+        self.flush()

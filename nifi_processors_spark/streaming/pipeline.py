@@ -393,5 +393,5 @@ class CdcPipeline:
                 q.stop()
             if self.metrics is not None:
                 # ≙ flushSync on shutdown (PUT:369-376) for telemetry:
-                # drain whatever the timed buffer still holds
-                self.metrics.flush()
+                # drain the buffer and park the background timer
+                self.metrics.close()

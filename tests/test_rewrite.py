@@ -21,6 +21,7 @@ def test_redact_text_patterns(spark):
             (7, "id 123e4567-e89b-42d3-a456-426614174000 sent"),
             (8, "auth Bearer abcDEF1234._x done"),
             (9, "acct GB82WEST12345698765432 paid"),
+            (10, "the bearer receives the payment"),
         ],
         "id int, text string",
     )
@@ -34,6 +35,8 @@ def test_redact_text_patterns(spark):
     assert out[7] == "id <UUID> sent"
     assert out[8] == "auth <TOKEN> done"
     assert out[9] == "acct <IBAN> paid"
+    # prose after the word "bearer" is NOT a credential
+    assert out[10] == "the bearer receives the payment"
 
 
 def test_pipeline_with_transform(spark, tmp_path):

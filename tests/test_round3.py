@@ -507,28 +507,50 @@ def test_metrics_emitter_levels(tmp_path):
     assert out["detailed"][2]["max_lag_ms"] == 20
 
 
-def test_metrics_emitter_buffers_by_time_and_bounds_queue():
+def test_metrics_emitter_buffers_by_time_and_bounds_queue(tmp_path):
     """≙ metric buffering time + bounded publisher queue
     (ACP:207-224): records buffer until buffer_secs elapses on the
-    injected clock; overflow drops the OLDEST and reports the count."""
+    injected clock; queue pressure flushes a HEALTHY sink instead of
+    losing records; only a failing sink drops (oldest first, counted)."""
+    import json
+
     from nifi_processors_spark.streaming.metrics import MetricsEmitter
 
     now = [0.0]
+    path = str(tmp_path / "m.jsonl")
     em = MetricsEmitter(
-        level="summary", buffer_secs=10, queue_size=3, clock=lambda: now[0]
+        level="summary", buffer_secs=10, queue_size=3,
+        path=path, clock=lambda: now[0],
     )
-    sink = []
-    em.flush = lambda _orig=em.flush: sink.append(_orig())  # count flushes
-
-    for b in range(5):  # queue_size=3 → batches 0,1 dropped
+    for b in range(5):  # healthy sink: overflow flushes, drops nothing
         em.record_batch(b, {"n_upserts": b})
-    assert not sink, "nothing flushes before buffer_secs"
-    assert len(em._queue) == 3 and em._dropped == 2
-    assert em._queue[0]["batch_id"] == 2, "drops oldest first"
+    assert em._dropped == 0
+    em.flush()
+    recs = [json.loads(l) for l in open(path)]
+    assert [r["batch_id"] for r in recs] == [0, 1, 2, 3, 4]
+    assert em.flushes >= 2, "queue pressure flushed before buffer_secs"
 
+    # failing sink (unwritable path): overflow must drop OLDEST and
+    # count the loss instead of blocking or raising
+    em2 = MetricsEmitter(
+        level="summary", buffer_secs=10, queue_size=3,
+        path="/proc/nonexistent/m.jsonl", clock=lambda: now[0],
+    )
+    for b in range(5):
+        em2.record_batch(b, {"n_upserts": b})
+    assert em2._dropped == 2
+    assert em2._queue[0]["batch_id"] == 2, "drops oldest first"
+
+    # elapsed buffer_secs triggers the flush on the record path
+    em3 = MetricsEmitter(
+        level="summary", buffer_secs=10, queue_size=100,
+        path=path, clock=lambda: now[0],
+    )
+    em3.record_batch(0, {"n_upserts": 0})
+    assert em3.flushes == 0, "nothing flushes before buffer_secs"
     now[0] = 10.0
-    em.record_batch(5, {"n_upserts": 5})
-    assert sink, "elapsed buffer_secs triggers the flush"
+    em3.record_batch(1, {"n_upserts": 1})
+    assert em3.flushes == 1, "elapsed buffer_secs triggers the flush"
 
 
 def test_pipeline_emits_buffered_metrics(spark, tmp_path):
@@ -648,3 +670,24 @@ def test_cli_entrypoint_drains_compacts_and_expires(spark, tmp_path, capsys):
     assert {"compact", "expire", "last_batch"} <= keys
     t = TransactionalTable(spark, str(tmp_path / "t"))
     assert t.read().count() == len(expected)
+
+
+def test_metrics_background_timer_drains_idle_stream(tmp_path):
+    """An idle or continuous stream must still drain the buffer: the
+    daemon timer flushes without further record_batch calls (≙ the
+    reference's background CloudWatch publisher)."""
+    import json
+    import time
+
+    from nifi_processors_spark.streaming.metrics import MetricsEmitter
+
+    path = str(tmp_path / "m.jsonl")
+    em = MetricsEmitter(level="summary", buffer_secs=0.2, queue_size=100,
+                        path=path)
+    em.record_batch(0, {"n_upserts": 1})
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline and not os.path.exists(path):
+        time.sleep(0.05)
+    recs = [json.loads(l) for l in open(path)]
+    assert recs and recs[0]["batch_id"] == 0
+    em.close()
