@@ -61,6 +61,12 @@ class EngineConfig:
     # broadcast copy-on-write path (big side never shuffled); larger
     # batches fall back to union+aggregate (one shuffle, AQE-skew-safe)
     merge_broadcast_threshold: int = 2_000_000
+    # low-cardinality string payload columns to dictionary-encode as
+    # int codes across the bulk merge's bucket exchange (decoded after
+    # the LWW agg, before the write) — narrower shuffle rows on the
+    # agg+write stage, the named scaling hotspot (BENCH/BASELINE.md).
+    # Columns above 256 distinct values per batch fall back to plain.
+    shuffle_dict_cols: tuple = ()
     commit_retries: int = 4  # ≙ KCL/KPL retry policy ACP:181-188
     commit_retry_backoff_ms: int = 500  # ≙ task backoff ACP:181-188
 
@@ -140,6 +146,10 @@ class EngineConfig:
         # cross-field: dead-letter routing needs a quarantine path,
         # unless the pipeline is configured to fail the batch instead
         # (≙ access-key/secret-key must be set together, ACP:292-298)
+        if not isinstance(self.shuffle_dict_cols, (tuple, list)) or any(
+            not isinstance(c, str) for c in self.shuffle_dict_cols
+        ):
+            raise ConfigError("shuffle_dict_cols must be a tuple of column names")
         if not self.fail_on_dead_letter and not self.dead_letter_path:
             raise ConfigError(
                 "dead_letter_path required when fail_on_dead_letter=False"

@@ -146,14 +146,15 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     h = abs(h)
     row_bytes = w * 3
     stride = row_bytes + (4 - row_bytes % 4) % 4
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    for i in range(h):
-        r = i if top_down else h - 1 - i
-        row = np.frombuffer(
-            payload, dtype=np.uint8, count=row_bytes, offset=off + i * stride
-        ).reshape(w, 3)
-        out[r] = row[:, ::-1]  # BGR → RGB
-    return out
+    # one frombuffer over the whole padded raster, then slice off the
+    # pad columns — no per-row Python loop (a megapixel BMP inside
+    # mapInPandas decodes at memcpy speed)
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=off
+    ).reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        raster = raster[::-1]
+    return np.ascontiguousarray(raster[:, :, ::-1])  # BGR → RGB
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -183,6 +184,201 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(frames, dtype="<i2"), rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, elementwise over int16 arrays."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG (8-bit truecolor, no interlace) using
+    only stdlib zlib + numpy. Each row's filter type is ``row % 5`` so
+    a corpus of a few images exercises ALL five PNG filters (None/Sub/
+    Up/Average/Paeth) in the decoder — filtered bytes are mod-256
+    differences, fully vectorized per row."""
+    import zlib
+
+    h, w, _ = arr.shape
+    px = arr.astype(np.uint8)
+    raw_rows = []
+    prev = np.zeros((w, 3), dtype=np.uint8)
+    for r in range(h):
+        cur = px[r]
+        left = np.vstack([np.zeros((1, 3), np.uint8), cur[:-1]])
+        upleft = np.vstack([np.zeros((1, 3), np.uint8), prev[:-1]])
+        ft = r % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - (
+                (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            ).astype(np.uint8)
+        else:
+            filt = cur - _paeth(left, prev, upleft)
+        raw_rows.append(bytes([ft]) + filt.tobytes())
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(raw_rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (8-bit truecolor RGB, no interlace) → (h, w, 3) uint8 —
+    stdlib zlib inflate + the five per-row unfilters in numpy. None and
+    Up are whole-row vectorized; Sub is a per-byte-lane cumsum (the
+    recurrence recon[x] = raw[x] + recon[x-3] telescopes to a mod-256
+    prefix sum); Average and Paeth carry a true loop dependency along
+    the row, so they walk pixels (still numpy 3-vectors per step)."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = len(_PNG_SIG), None
+    idat = []
+    while pos < len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, color, _comp, _filt, interlace = body[8:13]
+            if depth != 8 or color != 2 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    prev = np.zeros((w, 3), dtype=np.uint8)
+    for r in range(h):
+        ft = int(raw[r, 0])
+        row = raw[r, 1:].reshape(w, 3)
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:
+            rec = np.cumsum(row, axis=0, dtype=np.uint64).astype(np.uint8)
+        elif ft == 2:
+            rec = row + prev
+        elif ft == 3:
+            rec = np.empty((w, 3), dtype=np.uint8)
+            left = np.zeros(3, dtype=np.uint8)
+            for x in range(w):
+                rec[x] = row[x] + (
+                    (left.astype(np.int16) + prev[x].astype(np.int16)) // 2
+                ).astype(np.uint8)
+                left = rec[x]
+        elif ft == 4:
+            rec = np.empty((w, 3), dtype=np.uint8)
+            left = np.zeros(3, dtype=np.uint8)
+            upleft = np.zeros(3, dtype=np.uint8)
+            for x in range(w):
+                rec[x] = row[x] + _paeth(left, prev[x], upleft)
+                left, upleft = rec[x], prev[x]
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec
+        prev = rec
+    return out
+
+
+def encode_y4m(
+    y: np.ndarray, u: np.ndarray, v: np.ndarray, fps: int = 4
+) -> bytes:
+    """(n, h, w) uint8 Y/U/V planes → YUV4MPEG2 (C444) bytes: an ASCII
+    stream header, then per frame a FRAME marker + raw planes. The one
+    mainstream video container that is pure byte-parsing — no ffmpeg."""
+    n, h, w = y.shape
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)
+    frames = [
+        b"FRAME\n"
+        + y[i].astype(np.uint8).tobytes()
+        + u[i].astype(np.uint8).tobytes()
+        + v[i].astype(np.uint8).tobytes()
+        for i in range(n)
+    ]
+    return head + b"".join(frames)
+
+
+def decode_y4m(payload: bytes):
+    """YUV4MPEG2 (C444 / C420-unsupported) → (y, u, v, fps) with planes
+    shaped (n_frames, h, w) uint8. Frame data offsets are arithmetic
+    (fixed plane sizes), so the whole stream decodes with one
+    frombuffer + reshape per plane set."""
+    nl = payload.index(b"\n")
+    parts = payload[:nl].split(b" ")
+    if parts[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    colorspace = b"C420"
+    for p in parts[1:]:
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"F":
+            num, den = p[1:].split(b":")
+            fps = int(num) / int(den)
+        elif p[:1] == b"C":
+            colorspace = p
+    if colorspace != b"C444":
+        raise NotImplementedError("only C444 (4:4:4) y4m supported")
+    if w is None or h is None or fps is None:
+        raise ValueError("y4m header missing W/H/F")
+    plane = w * h
+    frame_bytes = len(b"FRAME\n") + 3 * plane
+    body = payload[nl + 1 :]
+    n = len(body) // frame_bytes
+    ys, us, vs = [], [], []
+    for i in range(n):
+        off = i * frame_bytes
+        if body[off : off + 6] != b"FRAME\n":
+            raise ValueError(f"bad FRAME marker at frame {i}")
+        base = off + 6
+        f = np.frombuffer(body, dtype=np.uint8, count=3 * plane, offset=base)
+        ys.append(f[:plane].reshape(h, w))
+        us.append(f[plane : 2 * plane].reshape(h, w))
+        vs.append(f[2 * plane :].reshape(h, w))
+    return np.stack(ys), np.stack(us), np.stack(vs), fps
+
+
 def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
     """Dispatch on magic bytes: PPM and BMP decode for real (pure
     numpy); anything else (JPEG/PNG/...) needs Pillow/opencv, which
@@ -192,10 +388,12 @@ def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
         return decode_ppm(payload).mean(axis=2).astype(np.float32)
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload).mean(axis=2).astype(np.float32)
+    if payload and payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload).mean(axis=2).astype(np.float32)
     if not fake:
         raise NotImplementedError(
-            "compressed image decode requires Pillow/opencv — not "
-            "available in this container; use PPM/BMP payloads, pass "
+            "JPEG decode requires Pillow/opencv — not available in "
+            "this container; use PPM/BMP/PNG payloads, pass "
             "fake=True, or install a codec"
         )
     h = hashlib.md5(payload or b"").digest()
@@ -238,9 +436,12 @@ def extract_image_features(
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = False
 ) -> DataFrame:
-    """Frame sampling: one output row per sampled frame. The decode is
-    stubbed; the fan-out shape (row → N frame rows via mapInPandas) is
-    the real contract."""
+    """Frame sampling: one output row per sampled frame (row → N frame
+    rows via mapInPandas). YUV4MPEG2 payloads decode FOR REAL (pure
+    byte-parsing, decode_y4m): the sampled frame's raw Y plane is the
+    ``frame`` payload and timestamps come from the stream's own frame
+    rate. Compressed containers (MP4 etc.) still need ffmpeg — those
+    payloads raise unless ``fake=True``."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -248,9 +449,31 @@ def sample_video_frames(
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                payload = bytes(payload) if payload is not None else b""
+                if payload[:9] == b"YUV4MPEG2":
+                    y, _u, _v, fps = decode_y4m(payload)
+                    n_frames = y.shape[0]
+                    frame_ms = 1000.0 / fps
+                    k = 0
+                    while k < max_frames:
+                        ts = k * every_ms
+                        idx = int(ts / frame_ms)
+                        if idx >= n_frames:
+                            break
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": idx,
+                                "frame_ts_ms": ts,
+                                "frame": y[idx].tobytes(),
+                            }
+                        )
+                        k += 1
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "video decode requires ffmpeg — not in this container"
+                        "compressed video decode requires ffmpeg — not in "
+                        "this container; use y4m payloads or fake=True"
                     )
                 n = min(max_frames, max(int((dur or 0) // every_ms), 0))
                 for i in range(n):
@@ -315,11 +538,30 @@ def _synth_audio(d: int) -> np.ndarray:
     return (((31 * d + 17 * i) % 4096) - 2048).astype(np.int16)
 
 
+def _synth_video(d: int):
+    """Deterministic YUV444 planes for seed ``d``:
+    y(i, r, c) = (7d + 13i + 3r + 5c) mod 256 over
+    n = 2 + d mod 3 frames of (h, w) = (4 + (d//8) mod 4,
+    8 + (d//8) mod 8); U/V are the Y plane shifted by 1/2. Every byte
+    depends on (frame, row, col), so a frame-offset or plane-order bug
+    in the y4m decoder changes the stats and fails the oracle gate."""
+    n = 2 + d % 3
+    w, h = 8 + (d // 8) % 8, 4 + (d // 8) % 4
+    i = np.arange(n).reshape(n, 1, 1)
+    r = np.arange(h).reshape(1, h, 1)
+    c = np.arange(w).reshape(1, 1, w)
+    y = ((7 * d + 13 * i + 3 * r + 5 * c) % 256).astype(np.uint8)
+    return y, ((y.astype(np.int32) + 1) % 256).astype(np.uint8), (
+        (y.astype(np.int32) + 2) % 256
+    ).astype(np.uint8)
+
+
 def synth_media(docs: DataFrame) -> DataFrame:
     """Deterministic media table seeded by ``doc_id`` (no external
-    data, per the build brief): odd ids → PCM WAV; even ids → image,
-    alternating real BMP (id % 4 == 0) and PPM (id % 4 == 2) so both
-    decoders are exercised. Encoding runs in Arrow-batched
+    data, per the build brief): odd ids → PCM WAV; id % 8 == 6 → y4m
+    video; other even ids → image cycling through the three real image
+    codecs (BMP for id % 8 == 0, PPM for 2, PNG for 4) so every
+    decoder is exercised. Encoding runs in Arrow-batched
     ``mapInPandas`` — the producer half of the media path."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -340,15 +582,32 @@ def synth_media(docs: DataFrame) -> DataFrame:
                             "duration_ms": len(s) * 1000 // 8000,
                         }
                     )
+                elif d % 8 == 6:
+                    y, u, v = _synth_video(d)
+                    rows.append(
+                        {
+                            "media_id": d,
+                            "kind": "video",
+                            "payload": encode_y4m(y, u, v, fps=4),
+                            "mime": "video/x-yuv4mpeg",
+                            "width": y.shape[2],
+                            "height": y.shape[1],
+                            "duration_ms": y.shape[0] * 1000 // 4,
+                        }
+                    )
                 else:
                     img = _synth_image(d)
-                    bmp = d % 4 == 0
+                    codec = {
+                        0: (encode_bmp, "image/bmp"),
+                        2: (encode_ppm, "image/x-portable-pixmap"),
+                        4: (encode_png, "image/png"),
+                    }[d % 8]
                     rows.append(
                         {
                             "media_id": d,
                             "kind": "image",
-                            "payload": encode_bmp(img) if bmp else encode_ppm(img),
-                            "mime": "image/bmp" if bmp else "image/x-portable-pixmap",
+                            "payload": codec[0](img),
+                            "mime": codec[1],
                             "width": img.shape[1],
                             "height": img.shape[0],
                             "duration_ms": None,
@@ -390,12 +649,28 @@ def media_stats(media: DataFrame) -> DataFrame:
                             "sum_val": int(s.astype(np.int64).sum()),
                         }
                     )
-                else:
-                    arr = (
-                        decode_ppm(payload)
-                        if payload[:2] == b"P6"
-                        else decode_bmp(payload)
+                elif kind == "video":
+                    # real y4m decode; stats cover the luma (Y) plane
+                    # across all frames
+                    y, _u, _v, _fps = decode_y4m(payload)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "kind": kind,
+                            "width": y.shape[2],
+                            "height": y.shape[1],
+                            "n_units": int(y.size),
+                            "first_val": int(y[0, 0, 0]),
+                            "sum_val": int(y.astype(np.int64).sum()),
+                        }
                     )
+                else:
+                    if payload[:2] == b"P6":
+                        arr = decode_ppm(payload)
+                    elif payload[:2] == b"BM":
+                        arr = decode_bmp(payload)
+                    else:
+                        arr = decode_png(payload)
                     rows.append(
                         {
                             "media_id": int(mid),

@@ -934,17 +934,22 @@ def _ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: closed-form expectations for the synthetic media corpus
 #: (operators/multimodal.synth_media): pixel(r,c,k) = (7d+3r+5c+11k)%256
-#: for images (w=8+d%8, h=4+d%4; BMP for d%4==0, PPM for d%4==2),
-#: sample(i) = ((31d+17i)%4096)−2048 for audio (n=64+d%64). The Spark
-#: side ENCODES real PPM/BMP/WAV bytes then DECODES them back with the
+#: for images (w=8+d%8, h=4+d%4; BMP for d%8==0, PPM for d%8==2, PNG
+#: for d%8==4), sample(i) = ((31d+17i)%4096)−2048 for audio (n=64+d%64),
+#: luma y(i,r,c) = (7d+13i+3r+5c)%256 for y4m video (d%8==6; n=2+d%3
+#: frames of (4+(d//8)%4, 8+(d//8)%8)). The Spark side ENCODES real
+#: PPM/BMP/PNG/WAV/y4m bytes then DECODES them back with the
 #: pure-numpy/stdlib codecs — a decoder layout bug (BGR order kept,
-#: bottom-up rows unflipped, row padding miscounted, header length
-#: wrong) changes first_val/sum_val and fails this gate. All outputs
-#: integer: no float-rounding hazard across engines.
+#: bottom-up rows unflipped, row padding miscounted, a PNG row filter
+#: mis-unfiltered, a y4m frame offset off by one) changes
+#: first_val/sum_val and fails this gate. All outputs integer: no
+#: float-rounding hazard across engines. (DuckDB-only rendering — the
+#: Spark side is the codec path itself, so `//` integer division is
+#: safe here.)
 MEDIA_DECODE_ORACLE_TPL = """
 WITH img AS (
   SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 <> 6
 ),
 img_r AS (SELECT doc_id, w, h, @EXPLODE(@SEQ(0; h - 1)@)@ AS r FROM img),
 img_rc AS (SELECT doc_id, w, h, r, @EXPLODE(@SEQ(0; w - 1)@)@ AS c FROM img_r),
@@ -975,8 +980,28 @@ aud_stats AS (
          cast((31*doc_id) % 4096 - 2048 AS bigint) AS first_val,
          @BSUM(v)@ AS sum_val
   FROM aud_s GROUP BY doc_id, n
+),
+vid AS (
+  SELECT doc_id, 8 + (doc_id // 8) % 8 AS w, 4 + (doc_id // 8) % 4 AS h,
+         2 + doc_id % 3 AS n
+  FROM documents WHERE doc_id % 8 = 6
+),
+vid_i AS (SELECT doc_id, w, h, n, @EXPLODE(@SEQ(0; n - 1)@)@ AS i FROM vid),
+vid_ir AS (SELECT doc_id, w, h, n, i, @EXPLODE(@SEQ(0; h - 1)@)@ AS r FROM vid_i),
+vid_px AS (
+  SELECT doc_id, w, h, n, (7*doc_id + 13*i + 3*r + 5*c) % 256 AS v
+  FROM (SELECT doc_id, w, h, n, i, r, @EXPLODE(@SEQ(0; w - 1)@)@ AS c FROM vid_ir) t
+),
+vid_stats AS (
+  SELECT doc_id AS media_id, 'video' AS kind,
+         cast(w AS int) AS width, cast(h AS int) AS height,
+         cast(n * w * h AS bigint) AS n_units,
+         cast((7*doc_id) % 256 AS bigint) AS first_val,
+         @BSUM(v)@ AS sum_val
+  FROM vid_px GROUP BY doc_id, w, h, n
 )
 SELECT * FROM img_stats UNION ALL SELECT * FROM aud_stats
+UNION ALL SELECT * FROM vid_stats
 """
 
 

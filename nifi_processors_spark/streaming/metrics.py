@@ -89,7 +89,6 @@ class MetricsEmitter:
         """
         if self.level == "none":
             return
-        self._closed = False  # a live stream re-arms a closed emitter
         recs = [
             {
                 "ns": self.namespace,
@@ -115,25 +114,22 @@ class MetricsEmitter:
                     }
                 )
         with self._lock:
-            for rec in recs:
-                self._put_locked(rec)
-            due = self._clock() - self._last_flush >= self.buffer_secs
+            # a live stream re-arms a closed emitter; the reset lives
+            # under the SAME lock close() takes, so a shutdown racing a
+            # committing micro-batch can't leave a half-armed emitter
+            self._closed = False
+            self._queue.extend(recs)
+            # queue pressure flushes too (a healthy sink should absorb
+            # the buffer rather than lose records); the transient
+            # overshoot of at most one batch's records is shed —
+            # oldest-first, counted — only if the flush itself fails
+            due = (
+                self._clock() - self._last_flush >= self.buffer_secs
+                or len(self._queue) >= self.queue_size
+            )
         if due:
             self.flush()
         self._ensure_timer()
-
-    def _put_locked(self, rec: dict) -> None:
-        if len(self._queue) >= self.queue_size:
-            # queue pressure: a healthy sink should absorb the buffer
-            # rather than lose records — flush in place (we hold the
-            # lock; _flush_locked writes and resets)
-            self._flush_locked()
-        if len(self._queue) >= self.queue_size:
-            # sink failing: drop the OLDEST (newest telemetry is the
-            # most valuable), and count the loss
-            self._queue.popleft()
-            self._dropped += 1
-        self._queue.append(rec)
 
     # -------------------------------------------------- background timer
 
@@ -167,38 +163,51 @@ class MetricsEmitter:
         """Drain the buffer to the sink; returns records written.
 
         Never raises: telemetry failure must not abort the stream
-        (≙ the reference logs-and-continues on CloudWatch errors)."""
+        (≙ the reference logs-and-continues on CloudWatch errors).
+        Sink I/O happens OUTSIDE the lock (snapshot-and-swap), so a
+        slow or hanging sink never blocks record_batch — and therefore
+        never blocks the foreachBatch commit path."""
         with self._lock:
-            return self._flush_locked()
-
-    def _flush_locked(self) -> int:
-        if not self._queue and not self._dropped:
-            return 0
-        recs = list(self._queue)
-        if self._dropped:
-            recs.append(
-                {"ns": self.namespace, "kind": "dropped", "count": self._dropped}
+            if not self._queue and not self._dropped:
+                return 0
+            recs = list(self._queue)
+            self._queue.clear()
+            dropped, self._dropped = self._dropped, 0
+        payload = list(recs)
+        if dropped:
+            payload.append(
+                {"ns": self.namespace, "kind": "dropped", "count": dropped}
             )
         try:
             if self.path:
                 os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
                 with open(self.path, "a") as f:
-                    for r in recs:
+                    for r in payload:
                         f.write(json.dumps(r) + "\n")
             else:
-                for r in recs:
+                for r in payload:
                     log.info("metric %s", r)
         except Exception:
-            # sink failure is non-fatal; the queue and drop counter
-            # stay UNTOUCHED so a recovered sink gets everything and a
-            # persistently failing one sheds oldest-first via _put
-            log.warning("metric flush failed (%d records)", len(recs))
+            # sink failure is non-fatal: re-queue the snapshot at the
+            # FRONT (records that arrived during the write keep their
+            # order behind it) so a recovered sink gets everything; a
+            # persistently failing one sheds oldest-first, counted.
+            # _last_flush still advances so retries are paced by
+            # buffer_secs instead of hammering a broken sink once per
+            # micro-batch on the record path.
+            log.warning("metric flush failed (%d records)", len(payload))
+            with self._lock:
+                self._queue.extendleft(reversed(recs))
+                self._dropped += dropped
+                while len(self._queue) > self.queue_size:
+                    self._queue.popleft()
+                    self._dropped += 1
+                self._last_flush = self._clock()
             return 0
-        self._queue.clear()
-        self._dropped = 0
-        self._last_flush = self._clock()
-        self.flushes += 1
-        return len(recs)
+        with self._lock:
+            self._last_flush = self._clock()
+            self.flushes += 1
+        return len(payload)
 
     def close(self) -> None:
         """Final drain + stop the background timer (≙ flushSync on

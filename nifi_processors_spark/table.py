@@ -295,7 +295,9 @@ class TransactionalTable:
         try:
             import pyarrow.parquet as _pq
 
-            md = _pq.ParquetFile(abs_path).metadata
+            # read_metadata opens and closes the file per call —
+            # ParquetFile would leave the handle to GC
+            md = _pq.read_metadata(abs_path)
             idx = {
                 md.schema.column(i).name: i for i in range(md.num_columns)
             }.get(key_col)
@@ -347,14 +349,18 @@ class TransactionalTable:
                     # O(files) serial latency on the micro-batch path
                     from concurrent.futures import ThreadPoolExecutor
 
+                    # read_metadata (not ParquetFile) closes each file
+                    # handle per call — 16 concurrent opens over
+                    # hundreds of files per bulk batch would otherwise
+                    # ride on GC for fd release
                     with ThreadPoolExecutor(max_workers=16) as ex:
                         return sum(
                             ex.map(
-                                lambda p: _pq.ParquetFile(p).metadata.num_rows,
+                                lambda p: _pq.read_metadata(p).num_rows,
                                 paths,
                             )
                         )
-                return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+                return sum(_pq.read_metadata(p).num_rows for p in paths)
         except Exception:
             pass
         return None
@@ -375,6 +381,70 @@ class TransactionalTable:
                 return False
         return True
 
+    def _shuffle_dict_codecs(
+        self, df: DataFrame, cand_cols, lww_order, key_cols, cap: int = 256
+    ):
+        """Per-batch dictionary codecs for low-cardinality STRING
+        payload columns: narrower UnsafeRows across the bulk merge's
+        bucket exchange (the agg+write stage is bandwidth-bound at high
+        core counts — BENCH/BASELINE.md §2). One column-pruned
+        collect_set job builds the dictionaries; sort_array makes codes
+        deterministic. A column exceeding ``cap`` distinct values (or
+        participating in keys / LWW ordering) passes through unchanged.
+        Returns (encode, decode, encoded_col_names)."""
+        strings = {
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, T.StringType)
+        }
+        cols = [
+            c for c in (cand_cols or [])
+            if c in strings and c not in key_cols and c not in lww_order
+        ]
+        specs: dict[str, list] = {}
+        if cols:
+            row = df.agg(
+                *[
+                    F.slice(
+                        F.sort_array(F.collect_set(F.col(c))), 1, cap + 1
+                    ).alias(c)
+                    for c in cols
+                ]
+            ).collect()[0]
+            for c in cols:
+                vals = row[c]
+                if vals and len(vals) <= cap:
+                    specs[c] = list(vals)
+
+        if not specs:
+            return (lambda d: d), (lambda d: d), []
+
+        def encode(d: DataFrame) -> DataFrame:
+            for c, vals in specs.items():
+                m = F.create_map(
+                    *[x for i, v in enumerate(vals) for x in (F.lit(v), F.lit(i))]
+                )
+                # null value → null code; every non-null value is in
+                # the dict by construction (built from this same frame)
+                d = d.withColumn(c, F.element_at(m, F.col(c)).cast("int"))
+            return d
+
+        def decode(d: DataFrame) -> DataFrame:
+            for c, vals in specs.items():
+                arr = F.array(*[F.lit(v) for v in vals])
+                # explicit null guard: element_at(arr, NULL) does NOT
+                # return NULL (observed returning an arbitrary element
+                # on Spark 4.x) — a null code must decode to null
+                d = d.withColumn(
+                    c,
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.element_at(arr, F.col(c) + F.lit(1)),
+                    ),
+                )
+            return d
+
+        return encode, decode, sorted(specs)
+
     def merge(
         self,
         batch_df: DataFrame,
@@ -387,6 +457,7 @@ class TransactionalTable:
         retries: int = 4,
         backoff_ms: int = 50,
         upper_rows_hint: int | None = None,
+        dict_encode_cols=None,
     ) -> dict:
         """Apply one micro-batch of change events (op/conv_id/turn_idx/
         payload/ts/seq) with LWW semantics. Idempotent per
@@ -407,6 +478,7 @@ class TransactionalTable:
                     batch_df, source_id, batch_id, lineage_df, extra_stats,
                     broadcast_threshold, lineage_fn, attempt_history=history,
                     upper_rows_hint=upper_rows_hint,
+                    dict_encode_cols=dict_encode_cols,
                 )
             except ConcurrentCommitError as e:
                 if attempt == retries:
@@ -424,7 +496,7 @@ class TransactionalTable:
     def _merge_once(
         self, batch_df, source_id, batch_id, lineage_df, extra_stats,
         broadcast_threshold=2_000_000, lineage_fn=None, attempt_history=None,
-        upper_rows_hint=None,
+        upper_rows_hint=None, dict_encode_cols=None,
     ):
         m = self.manifest()
         wm = m["watermarks"].get(source_id)
@@ -608,6 +680,16 @@ class TransactionalTable:
         # stacking more copy-on-write generations
         fragmented = touched and len(touched) > 3 * len(affected)
 
+        # dictionary-encode configured low-cardinality payload columns
+        # across the bucket exchange (both exchange-bearing paths);
+        # identity codecs when unconfigured / high-cardinality. Small
+        # batches skip it — the codec's collect_set job isn't worth it
+        # below bulk scale, and broadcast-cow has no exchange at all.
+        dict_active = bool(dict_encode_cols) and (
+            strategy == "merge-on-read" or n_batch > broadcast_threshold
+        )
+        enc_cols: list[str] = []
+
         if strategy == "merge-on-read":
             # --- delta-append (write-optimized): LWW-dedupe the batch
             # and append it bucketed — ONE job over O(batch) rows, no
@@ -617,9 +699,18 @@ class TransactionalTable:
             parts = max(len(affected), 1)
             if n_batch <= broadcast_threshold:
                 parts = max(1, min(parts, -(-n_batch // 500_000)))
+            src = up
+            dec = None
+            if dict_active:
+                enc, dec, enc_cols = self._shuffle_dict_codecs(
+                    up, dict_encode_cols, lww_order, key_cols
+                )
+                src = enc(up)
+            merged = _lww_agg(src.repartition(parts, "_bucket"))
+            if dec is not None:
+                merged = dec(merged)
             (
-                _lww_agg(up.repartition(parts, "_bucket"))
-                .select(*out_cols)
+                merged.select(*out_cols)
                 .write.partitionBy("_bucket")
                 .mode("errorifexists")
                 .parquet(commit_dir)
@@ -693,8 +784,9 @@ class TransactionalTable:
                 import pyarrow.parquet as _pq2
 
                 touched_rows = sum(
-                    _pq2.ParquetFile(os.path.join(self.path, f["path"]))
-                    .metadata.num_rows
+                    _pq2.read_metadata(
+                        os.path.join(self.path, f["path"])
+                    ).num_rows
                     for f in touched
                 )
             except Exception:
@@ -731,9 +823,18 @@ class TransactionalTable:
             parts = max(len(affected), 1)
             if n_batch <= broadcast_threshold:
                 parts = max(1, min(parts, -(-n_batch // 500_000)))
-            merged = _lww_agg(
-                unioned.repartition(parts, "_bucket")
-            ).select(*out_cols)
+            dec = None
+            if dict_active:
+                # dictionaries build over the UNION (batch ∪ touched
+                # table rows) so every value on either side encodes
+                enc, dec, enc_cols = self._shuffle_dict_codecs(
+                    unioned, dict_encode_cols, lww_order, key_cols
+                )
+                unioned = enc(unioned)
+            merged = _lww_agg(unioned.repartition(parts, "_bucket"))
+            if dec is not None:
+                merged = dec(merged)
+            merged = merged.select(*out_cols)
             (
                 merged.write.partitionBy("_bucket")
                 .mode("errorifexists")
@@ -811,6 +912,7 @@ class TransactionalTable:
             # flattened attempt attributes, PUT:343-364)
             "commit_attempts": len(attempt_history or []) + 1,
             "attempt_history": list(attempt_history or []),
+            "dict_encoded_cols": enc_cols,
             **(extra_stats or {}),
         }
         manifest = {
