@@ -121,12 +121,21 @@ def main(argv=None) -> None:
                 pipe.metrics.close()
     else:
         pipe.run_once(timeout_s=86_400)
+        # maintenance covers the dead-letter table too: it takes one
+        # tiny append per poison micro-batch and would otherwise grow
+        # its file/manifest count forever (round-3 VERDICT #8)
         if args.compact:
-            print(json.dumps({"compact": pipe.table.compact()}))
+            out = {"compact": pipe.table.compact()}
+            if pipe.dead_letter is not None:
+                out["compact_dlq"] = pipe.dead_letter.compact()
+            print(json.dumps(out))
         if args.expire_keep_last > 0:
-            print(json.dumps({
-                "expire": pipe.table.expire_snapshots(args.expire_keep_last)
-            }))
+            out = {"expire": pipe.table.expire_snapshots(args.expire_keep_last)}
+            if pipe.dead_letter is not None:
+                out["expire_dlq"] = pipe.dead_letter.expire_snapshots(
+                    args.expire_keep_last
+                )
+            print(json.dumps(out))
     print(json.dumps({"last_batch": pipe.last_batch_stats,
                       "table_version": pipe.table.current_version()}))
 

@@ -327,13 +327,27 @@ class CdcPipeline:
             invalid = tagged.filter(F.col("error_reason").isNotNull()).withColumn(
                 "batch_id", F.lit(batch_id)
             )
-            self.dead_letter.append(
+            dlq_res = self.dead_letter.append(
                 invalid,
                 source_id=f"{cfg.source_id}::dlq",
                 batch_id=batch_id,
                 retries=cfg.commit_retries,
                 backoff_ms=cfg.commit_retry_backoff_ms,
             )
+            # DLQ retention (round-3 VERDICT #8): every 64th DLQ commit
+            # folds its sliver files into one and expires old
+            # snapshots, so a poison-heavy stream keeps a BOUNDED
+            # file/manifest count instead of one file per bad batch.
+            # expire's grace window keeps this safe next to the main
+            # table's concurrent commits; failure here must never fail
+            # the (already committed) batch.
+            ver = dlq_res.get("version")
+            if ver and ver % 64 == 0:
+                try:
+                    self.dead_letter.compact()
+                    self.dead_letter.expire_snapshots(keep_last=8)
+                except Exception:
+                    pass  # maintenance is advisory on the hot path
         # put-side rate limit (≙ RateLimit APP:150-159, applied
         # PUT:181): pace the trigger so the sustained apply rate stays
         # at or below the configured events/sec — a driver-side sleep,

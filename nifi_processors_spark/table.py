@@ -1119,14 +1119,26 @@ class TransactionalTable:
         except Exception:
             return None
 
-    def expire_snapshots(self, keep_last: int = 10) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 10, grace_secs: float = 600.0
+    ) -> dict:
         """Retention: drop manifest JSONs older than the newest
         ``keep_last`` versions and delete data/lineage files no
         retained manifest references. Bounds on-disk growth for
         fine-grained streaming deployments (1000s of micro-batches);
         time travel remains available within the retained window.
-        Maintenance op — run from the (single) table owner, like
-        compact(); it never touches files the current manifest needs."""
+
+        Concurrency guard (``grace_secs``): an unreferenced file
+        younger than the grace window is ALWAYS kept. A concurrent
+        writer stages its commit directory (data written, manifest not
+        yet linked) before the atomic os.link decides the version —
+        those staged files are invisible to every manifest, and
+        sweeping them would destroy the in-flight commit. Any file a
+        racing writer could still reference is by construction younger
+        than its commit attempt, so the age test makes expiry safe to
+        run concurrently with merges/appends/compactions; genuinely
+        orphaned files (loser attempts whose cleanup died) age out of
+        the grace window and are collected on the next pass."""
         versions = sorted(
             int(f[1:-5])
             for f in os.listdir(self._log_dir)
@@ -1140,7 +1152,8 @@ class TransactionalTable:
             mv = self.manifest(v)
             referenced.update(f["path"] for f in mv["files"])
             referenced.update(mv.get("lineage_files", []))
-        removed_files = 0
+        removed_files = skipped_young = 0
+        now = time.time()
         for sub in ("data", "lineage"):
             base = os.path.join(self.path, sub)
             if not os.path.isdir(base):
@@ -1148,9 +1161,17 @@ class TransactionalTable:
             for root, _dirs, files in os.walk(base, topdown=False):
                 for fn in files:
                     abs_p = os.path.join(root, fn)
-                    if os.path.relpath(abs_p, self.path) not in referenced:
-                        os.remove(abs_p)
-                        removed_files += 1
+                    if os.path.relpath(abs_p, self.path) in referenced:
+                        continue
+                    try:
+                        age = now - os.path.getmtime(abs_p)
+                    except OSError:
+                        continue  # already gone (racing writer cleanup)
+                    if age < grace_secs:
+                        skipped_young += 1
+                        continue
+                    os.remove(abs_p)
+                    removed_files += 1
                 if not os.listdir(root):
                     os.rmdir(root)
         for v in expired:
@@ -1159,6 +1180,7 @@ class TransactionalTable:
             "skipped": False,
             "expired_manifests": len(expired),
             "removed_files": removed_files,
+            "skipped_in_grace": skipped_young,
             "retained_versions": retained,
         }
 

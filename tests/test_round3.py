@@ -315,7 +315,10 @@ def test_lineage_folding_and_snapshot_expiry(spark, tmp_table_path):
     assert len(t.manifest()["lineage_files"]) == 1
     assert t.read_lineage().count() == n_batches  # rows survive folding
 
-    st = t.expire_snapshots(keep_last=2)
+    # grace_secs=0: single-writer test wants immediate collection (the
+    # production default keeps young unreferenced files to protect
+    # concurrently staged commits — covered in test_round4)
+    st = t.expire_snapshots(keep_last=2, grace_secs=0.0)
     # v0 create + 8 merges + 1 compact = 10 manifests → keep 2, drop 8
     assert st["expired_manifests"] == n_batches
     # only retained manifests remain on disk
