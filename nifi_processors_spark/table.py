@@ -458,6 +458,7 @@ class TransactionalTable:
         backoff_ms: int = 50,
         upper_rows_hint: int | None = None,
         dict_encode_cols=None,
+        dict_min_rows: int = 8_000_000,
     ) -> dict:
         """Apply one micro-batch of change events (op/conv_id/turn_idx/
         payload/ts/seq) with LWW semantics. Idempotent per
@@ -479,6 +480,7 @@ class TransactionalTable:
                     broadcast_threshold, lineage_fn, attempt_history=history,
                     upper_rows_hint=upper_rows_hint,
                     dict_encode_cols=dict_encode_cols,
+                    dict_min_rows=dict_min_rows,
                 )
             except ConcurrentCommitError as e:
                 if attempt == retries:
@@ -496,7 +498,7 @@ class TransactionalTable:
     def _merge_once(
         self, batch_df, source_id, batch_id, lineage_df, extra_stats,
         broadcast_threshold=2_000_000, lineage_fn=None, attempt_history=None,
-        upper_rows_hint=None, dict_encode_cols=None,
+        upper_rows_hint=None, dict_encode_cols=None, dict_min_rows=8_000_000,
     ):
         m = self.manifest()
         wm = m["watermarks"].get(source_id)
@@ -682,11 +684,16 @@ class TransactionalTable:
 
         # dictionary-encode configured low-cardinality payload columns
         # across the bucket exchange (both exchange-bearing paths);
-        # identity codecs when unconfigured / high-cardinality. Small
-        # batches skip it — the codec's collect_set job isn't worth it
-        # below bulk scale, and broadcast-cow has no exchange at all.
-        dict_active = bool(dict_encode_cols) and (
-            strategy == "merge-on-read" or n_batch > broadcast_threshold
+        # identity codecs when unconfigured / high-cardinality. The
+        # lever pays only on clearly-bulk replays whose exchange is
+        # bandwidth-bound: measured +3% at 13.4M-row batches on 2-8
+        # pinned cores, but −26% at 0.8M-row batches on 32 cores where
+        # the dictionary scan can't amortize (BENCH/ab_shuffle.py vs
+        # the bench merge A/B) — hence the explicit row floor on top
+        # of the bulk-path threshold. broadcast-cow has no exchange at
+        # all and never encodes.
+        dict_active = bool(dict_encode_cols) and n_batch > max(
+            broadcast_threshold, dict_min_rows
         )
         enc_cols: list[str] = []
 
