@@ -85,12 +85,11 @@ def merge_apply_throughput(
             LWW_COLS, n_buckets=64, merge_strategy=strategy,
         )
         for i, b in enumerate(batches):
-            # dict-encoded shuffle is the adopted bulk configuration
-            # (BENCH/ab_shuffle.py: −10% shuffle bytes, +3% throughput)
-            table.merge(
-                b, "bench", i, broadcast_threshold=300_000,
-                dict_encode_cols=("role", "tool"),
-            )
+            # plain shuffle: these 0.8M-row batches sit below the
+            # dictionary lever's 8M-row floor, where the dictionary
+            # scan cannot amortize (measured −26% if forced; the lever
+            # pays on 13M+-row bulk replays — BENCH/ab_shuffle.py)
+            table.merge(b, "bench", i, broadcast_threshold=300_000)
         if strategy == "merge-on-read":
             # a MOR replay isn't done until readers are scan-only again
             table.compact(drop_tombstones=True)

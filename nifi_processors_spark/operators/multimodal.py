@@ -148,10 +148,17 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     stride = row_bytes + (4 - row_bytes % 4) % 4
     # one frombuffer over the whole padded raster, then slice off the
     # pad columns — no per-row Python loop (a megapixel BMP inside
-    # mapInPandas decodes at memcpy speed)
-    raster = np.frombuffer(
-        payload, dtype=np.uint8, count=h * stride, offset=off
-    ).reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    # mapInPandas decodes at memcpy speed). Some writers omit the
+    # FINAL row's pad bytes; tolerate that (the old per-row decoder
+    # did) by zero-padding the tail, but reject true truncation.
+    buf = payload[off : off + h * stride]
+    if len(buf) < h * stride:
+        if len(buf) < (h - 1) * stride + row_bytes:
+            raise ValueError("truncated BMP raster")
+        buf = buf + b"\x00" * (h * stride - len(buf))
+    raster = np.frombuffer(buf, dtype=np.uint8).reshape(h, stride)[
+        :, :row_bytes
+    ].reshape(h, w, 3)
     if not top_down:
         raster = raster[::-1]
     return np.ascontiguousarray(raster[:, :, ::-1])  # BGR → RGB

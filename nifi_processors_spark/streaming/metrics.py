@@ -71,6 +71,8 @@ class MetricsEmitter:
         self._last_flush = clock()
         self._timer: threading.Timer | None = None
         self._closed = False
+        self._flushing = False  # single-flight guard (one sink writer)
+        self._sink_failing = False  # last flush failed → pace retries
         self.flushes = 0  # observability for tests / ops
 
     # ------------------------------------------------------------ record
@@ -119,13 +121,23 @@ class MetricsEmitter:
             # committing micro-batch can't leave a half-armed emitter
             self._closed = False
             self._queue.extend(recs)
+            if self._sink_failing:
+                # sink down and flushes paced: enforce the bound here —
+                # drop the OLDEST (newest telemetry is most valuable),
+                # counted, exactly the reference's bounded-queue shed
+                while len(self._queue) > self.queue_size:
+                    self._queue.popleft()
+                    self._dropped += 1
             # queue pressure flushes too (a healthy sink should absorb
             # the buffer rather than lose records); the transient
             # overshoot of at most one batch's records is shed —
-            # oldest-first, counted — only if the flush itself fails
-            due = (
-                self._clock() - self._last_flush >= self.buffer_secs
-                or len(self._queue) >= self.queue_size
+            # oldest-first, counted — only if the flush itself fails.
+            # A FAILING sink ignores the pressure clause: once the
+            # queue is pinned at cap, every batch would otherwise
+            # retry the broken sink on the record path — pacing by
+            # buffer_secs is exactly what the failure mode needs.
+            due = self._clock() - self._last_flush >= self.buffer_secs or (
+                len(self._queue) >= self.queue_size and not self._sink_failing
             )
         if due:
             self.flush()
@@ -166,10 +178,15 @@ class MetricsEmitter:
         (≙ the reference logs-and-continues on CloudWatch errors).
         Sink I/O happens OUTSIDE the lock (snapshot-and-swap), so a
         slow or hanging sink never blocks record_batch — and therefore
-        never blocks the foreachBatch commit path."""
+        never blocks the foreachBatch commit path. Flushes are
+        SINGLE-FLIGHT: a flush racing an in-progress one (timer thread
+        vs record path) returns immediately — its records stay queued
+        for the next flush — so two threads never interleave writes
+        into the sink and sink order always equals record order."""
         with self._lock:
-            if not self._queue and not self._dropped:
+            if self._flushing or (not self._queue and not self._dropped):
                 return 0
+            self._flushing = True
             recs = list(self._queue)
             self._queue.clear()
             dropped, self._dropped = self._dropped, 0
@@ -192,7 +209,8 @@ class MetricsEmitter:
             # FRONT (records that arrived during the write keep their
             # order behind it) so a recovered sink gets everything; a
             # persistently failing one sheds oldest-first, counted.
-            # _last_flush still advances so retries are paced by
+            # _last_flush still advances (and _sink_failing disables
+            # the queue-pressure trigger) so retries are paced by
             # buffer_secs instead of hammering a broken sink once per
             # micro-batch on the record path.
             log.warning("metric flush failed (%d records)", len(payload))
@@ -203,9 +221,13 @@ class MetricsEmitter:
                     self._queue.popleft()
                     self._dropped += 1
                 self._last_flush = self._clock()
+                self._sink_failing = True
+                self._flushing = False
             return 0
         with self._lock:
             self._last_flush = self._clock()
+            self._sink_failing = False
+            self._flushing = False
             self.flushes += 1
         return len(payload)
 

@@ -23,6 +23,8 @@ because the merge itself is LWW-idempotent.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +39,8 @@ from nifi_processors_spark.schema import (
 )
 from nifi_processors_spark.sources.binlog import read_binlog_stream
 from nifi_processors_spark.table import TransactionalTable
+
+_log = logging.getLogger(__name__)
 
 
 def _obs_values(obs, names: list[str]) -> dict | None:
@@ -347,7 +351,13 @@ class CdcPipeline:
                     self.dead_letter.compact()
                     self.dead_letter.expire_snapshots(keep_last=8)
                 except Exception:
-                    pass  # maintenance is advisory on the hot path
+                    # advisory on the hot path — but a persistently
+                    # failing maintenance pass means unbounded DLQ
+                    # growth, so it must be visible
+                    _log.warning(
+                        "DLQ maintenance failed at version %s", ver,
+                        exc_info=True,
+                    )
         # put-side rate limit (≙ RateLimit APP:150-159, applied
         # PUT:181): pace the trigger so the sustained apply rate stays
         # at or below the configured events/sec — a driver-side sleep,

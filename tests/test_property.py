@@ -83,3 +83,61 @@ def test_merge_always_equals_oracle(spark, tmp_path_factory, ev, split, swap, mo
         pd.testing.assert_frame_equal(
             state(), exp.reset_index(drop=True), check_dtype=False
         )
+
+
+# --------------------------------------------------------------------------
+# codec round-trips (round 4): pure functions, no Spark — hypothesis
+# hammers the byte-layout edges (row padding, filter choice, frame
+# boundaries) far harder than the fixed synthetic corpus
+# --------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(
+    h=_st.integers(1, 24), w=_st.integers(1, 24),
+    seed=_st.integers(0, 2**31 - 1),
+)
+def test_png_bmp_roundtrip_property(h, w, seed):
+    from nifi_processors_spark.operators.multimodal import (
+        decode_bmp, decode_png, encode_bmp, encode_png,
+    )
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@_settings(max_examples=25, deadline=None)
+@_given(
+    n=_st.integers(1, 6), h=_st.integers(1, 12), w=_st.integers(1, 12),
+    fps=_st.integers(1, 30), seed=_st.integers(0, 2**31 - 1),
+)
+def test_y4m_roundtrip_property(n, h, w, fps, seed):
+    from nifi_processors_spark.operators.multimodal import (
+        decode_y4m, encode_y4m,
+    )
+
+    rng = np.random.RandomState(seed)
+    y, u, v = (rng.randint(0, 256, (n, h, w), dtype=np.uint8) for _ in range(3))
+    y2, u2, v2, fps2 = decode_y4m(encode_y4m(y, u, v, fps=fps))
+    assert fps2 == fps
+    assert np.array_equal(y, y2) and np.array_equal(u, u2) and np.array_equal(v, v2)
+
+
+@_settings(max_examples=20, deadline=None)
+@_given(
+    n=_st.integers(1, 200), rate=_st.sampled_from([8000, 16000, 44100]),
+    seed=_st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    from nifi_processors_spark.operators.multimodal import (
+        decode_wav, encode_wav,
+    )
+
+    s = np.random.RandomState(seed).randint(-32768, 32767, n).astype(np.int16)
+    s2, rate2 = decode_wav(encode_wav(s, rate))
+    assert rate2 == rate and np.array_equal(s, s2)

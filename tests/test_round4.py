@@ -102,7 +102,7 @@ def test_sample_video_frames_real_y4m(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = sample_video_frames(media, every_ms=500, max_frames=8).collect()
     got = {r["frame_idx"]: bytes(r["frame"]) for r in out}
-    assert set(got) == {0, 2} if y.shape[0] > 2 else {0}
+    assert set(got) == ({0, 2} if y.shape[0] > 2 else {0})
     for idx, frame in got.items():
         assert frame == y[idx].tobytes()
     ts = {r["frame_idx"]: r["frame_ts_ms"] for r in out}
@@ -437,3 +437,66 @@ def test_registry_wrapper_drains_previous_pins(spark):
     assert not _PINNED
     jrdds = spark.sparkContext._jsc.getPersistentRDDs()
     assert jrdds.size() == 0, "no cached RDDs after a staged→plain pass"
+
+
+# --------------------------------------------------------------------------
+# round-4 self-review regressions
+# --------------------------------------------------------------------------
+
+def test_bmp_tolerates_missing_final_row_padding():
+    """Some BMP writers omit the final row's pad bytes; the vectorized
+    decoder must accept that (as the old per-row loop did) but reject
+    true pixel truncation."""
+    from nifi_processors_spark.operators.multimodal import (
+        decode_bmp, encode_bmp,
+    )
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (6, 3, 3), dtype=np.uint8)  # 3 pad bytes/row
+    payload = encode_bmp(img)
+    clipped = payload[:-3]  # drop final row's padding only
+    assert np.array_equal(decode_bmp(clipped), img)
+    with pytest.raises(ValueError):
+        decode_bmp(payload[:-5])  # cuts into the last row's pixels
+
+
+def test_metrics_failing_sink_is_paced_and_bounded():
+    """With the sink down and the queue pinned at cap, record_batch
+    must NOT retry the broken sink per batch (pacing by buffer_secs)
+    and must still enforce the bound by shedding oldest, counted."""
+    from nifi_processors_spark.streaming.metrics import MetricsEmitter
+
+    now = [0.0]
+    em = MetricsEmitter(
+        level="summary", buffer_secs=10, queue_size=3,
+        path="/proc/nonexistent/m.jsonl", clock=lambda: now[0],
+    )
+    for b in range(3):
+        em.record_batch(b, {"n_upserts": b})  # pressure → 1 failed flush
+    assert em._sink_failing
+    failed_at = em._last_flush
+    for b in range(3, 8):
+        em.record_batch(b, {"n_upserts": b})
+    # no further flush attempts inside the pacing window
+    assert em._last_flush == failed_at
+    # bound enforced at enqueue: oldest shed, counted
+    assert len(em._queue) == 3
+    assert [r["batch_id"] for r in em._queue] == [5, 6, 7]
+    assert em._dropped == 5
+
+
+def test_metrics_flush_is_single_flight():
+    """A flush racing an in-progress flush returns 0 and leaves its
+    records queued — two threads never interleave sink writes."""
+    from nifi_processors_spark.streaming.metrics import MetricsEmitter
+
+    em = MetricsEmitter(level="summary", buffer_secs=1000, path="")
+    em.record_batch(0, {"n_upserts": 0})
+    with em._lock:
+        em._flushing = True  # simulate an in-flight writer
+    assert em.flush() == 0
+    assert len(em._queue) == 1
+    with em._lock:
+        em._flushing = False
+    assert em.flush() == 1
+    assert not em._queue
