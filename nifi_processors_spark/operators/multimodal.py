@@ -6,14 +6,18 @@ FlowFile content: bytes it never interprets, GET:256-257). The Spark
 plumbing — schema, Arrow-batched ``mapInPandas`` operators, batch
 shaping, partition sizing — is real and tested.
 
-Codecs: uncompressed formats decode FOR REAL with no external
-libraries — PPM (P6) and 24-bit BMP via numpy, PCM WAV via the stdlib
-``wave`` module — so the decode → feature-extract path is end-to-end
-and oracle-gated (``media_decode_features``). Compressed codecs
-(JPEG/PNG/MP4) would need Pillow/ffmpeg, which this container lacks:
-those payloads raise ``NotImplementedError`` unless ``fake=True``
-(the deterministic fake used by plumbing tests) — the one honest
-capability boundary left in this module.
+Codecs: everything decodes FOR REAL with no external libraries — PPM
+(P6) and 24-bit BMP via numpy, PNG via stdlib zlib + the five row
+unfilters, PCM WAV via stdlib ``wave``, YUV4MPEG2 video (C444 + the
+C420 family) via raw-plane parsing, and baseline JPEG (4:4:4/4:2:2/
+4:2:0, restart intervals) via the pure-numpy codec in
+``operators/jpeg.py``. Lossless codecs are oracle-gated
+(``media_decode_features``, integer-exact); JPEG is lossy and
+therefore pytest-gated on bounded error. Remaining honest boundaries:
+progressive/arithmetic JPEG, 16-bit/paletted/interlaced PNG, and
+compressed video containers (MP4 needs ffmpeg) — those raise
+``NotImplementedError`` unless ``fake=True`` (the deterministic fake
+used by plumbing tests).
 
 At 100 TB scale the rules these operators encode:
 * binary columns ride in parquet with metadata columns beside them —
@@ -329,11 +333,19 @@ def decode_png(payload: bytes) -> np.ndarray:
 def encode_y4m(
     y: np.ndarray, u: np.ndarray, v: np.ndarray, fps: int = 4
 ) -> bytes:
-    """(n, h, w) uint8 Y/U/V planes → YUV4MPEG2 (C444) bytes: an ASCII
-    stream header, then per frame a FRAME marker + raw planes. The one
-    mainstream video container that is pure byte-parsing — no ffmpeg."""
+    """(n, h, w) uint8 Y plane + U/V planes → YUV4MPEG2 bytes: an
+    ASCII stream header, then per frame a FRAME marker + raw planes.
+    The one mainstream video container that is pure byte-parsing — no
+    ffmpeg. U/V shaped like Y → C444; shaped (n, h/2, w/2) → C420
+    (the common subsampled layout; requires even dimensions)."""
     n, h, w = y.shape
-    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)
+    if u.shape == y.shape:
+        tag = b"C444"
+    elif u.shape == (n, h // 2, w // 2) and h % 2 == 0 and w % 2 == 0:
+        tag = b"C420"
+    else:
+        raise ValueError("U/V planes must be full (C444) or half (C420) size")
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 %s\n" % (w, h, fps, tag)
     frames = [
         b"FRAME\n"
         + y[i].astype(np.uint8).tobytes()
@@ -345,16 +357,18 @@ def encode_y4m(
 
 
 def decode_y4m(payload: bytes):
-    """YUV4MPEG2 (C444 / C420-unsupported) → (y, u, v, fps) with planes
-    shaped (n_frames, h, w) uint8. Frame data offsets are arithmetic
-    (fixed plane sizes), so the whole stream decodes with one
-    frombuffer + reshape per plane set."""
+    """YUV4MPEG2 → (y, u, v, fps); Y shaped (n_frames, h, w) uint8,
+    U/V full-size for C444 or (n, h/2, w/2) for the C420 family
+    (C420/C420jpeg/C420mpeg2/C420paldv — identical plane layout, the
+    suffix only states chroma siting). Frame data offsets are
+    arithmetic (fixed plane sizes), so the whole stream decodes with
+    one frombuffer + reshape per plane set."""
     nl = payload.index(b"\n")
     parts = payload[:nl].split(b" ")
     if parts[0] != b"YUV4MPEG2":
         raise ValueError("not a YUV4MPEG2 stream")
     w = h = fps = None
-    colorspace = b"C420"
+    colorspace = b"C420"  # the y4m spec's default when C is absent
     for p in parts[1:]:
         if p[:1] == b"W":
             w = int(p[1:])
@@ -365,12 +379,16 @@ def decode_y4m(payload: bytes):
             fps = int(num) / int(den)
         elif p[:1] == b"C":
             colorspace = p
-    if colorspace != b"C444":
-        raise NotImplementedError("only C444 (4:4:4) y4m supported")
     if w is None or h is None or fps is None:
         raise ValueError("y4m header missing W/H/F")
-    plane = w * h
-    frame_bytes = len(b"FRAME\n") + 3 * plane
+    if colorspace == b"C444":
+        cw, ch = w, h
+    elif colorspace in (b"C420", b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+        cw, ch = w // 2, h // 2
+    else:
+        raise NotImplementedError(f"unsupported y4m colorspace {colorspace!r}")
+    yplane, cplane = w * h, cw * ch
+    frame_bytes = len(b"FRAME\n") + yplane + 2 * cplane
     body = payload[nl + 1 :]
     n = len(body) // frame_bytes
     ys, us, vs = [], [], []
@@ -379,10 +397,12 @@ def decode_y4m(payload: bytes):
         if body[off : off + 6] != b"FRAME\n":
             raise ValueError(f"bad FRAME marker at frame {i}")
         base = off + 6
-        f = np.frombuffer(body, dtype=np.uint8, count=3 * plane, offset=base)
-        ys.append(f[:plane].reshape(h, w))
-        us.append(f[plane : 2 * plane].reshape(h, w))
-        vs.append(f[2 * plane :].reshape(h, w))
+        f = np.frombuffer(
+            body, dtype=np.uint8, count=yplane + 2 * cplane, offset=base
+        )
+        ys.append(f[:yplane].reshape(h, w))
+        us.append(f[yplane : yplane + cplane].reshape(ch, cw))
+        vs.append(f[yplane + cplane :].reshape(ch, cw))
     return np.stack(ys), np.stack(us), np.stack(vs), fps
 
 
@@ -397,11 +417,14 @@ def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
         return decode_bmp(payload).mean(axis=2).astype(np.float32)
     if payload and payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload).mean(axis=2).astype(np.float32)
+    if payload and payload[:2] == b"\xff\xd8":
+        from nifi_processors_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload).mean(axis=2).astype(np.float32)
     if not fake:
         raise NotImplementedError(
-            "JPEG decode requires Pillow/opencv — not available in "
-            "this container; use PPM/BMP/PNG payloads, pass "
-            "fake=True, or install a codec"
+            "unrecognized image payload (supported: PPM, BMP, PNG, "
+            "baseline JPEG); pass fake=True for plumbing tests"
         )
     h = hashlib.md5(payload or b"").digest()
     rng = np.frombuffer(h, dtype=np.uint8).astype(np.float32)

@@ -141,3 +141,20 @@ def test_wav_roundtrip_property(n, rate, seed):
     s = np.random.RandomState(seed).randint(-32768, 32767, n).astype(np.int16)
     s2, rate2 = decode_wav(encode_wav(s, rate))
     assert rate2 == rate and np.array_equal(s, s2)
+
+
+@_settings(max_examples=20, deadline=None)
+@_given(
+    h=_st.integers(1, 32), w=_st.integers(1, 32),
+    seed=_st.integers(0, 2**31 - 1),
+)
+def test_jpeg_q100_near_lossless_property(h, w, seed):
+    """At quality 100 every quantizer is 1, so arbitrary content —
+    including pure noise — must survive within DCT/color rounding; any
+    zigzag, Huffman, predictor or block-layout bug blows the bound."""
+    from nifi_processors_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6

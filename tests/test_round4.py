@@ -500,3 +500,135 @@ def test_metrics_flush_is_single_flight():
         em._flushing = False
     assert em.flush() == 1
     assert not em._queue
+
+
+def test_y4m_c420_roundtrip_and_default_colorspace():
+    """C420 (the y4m default and the common real-world layout):
+    half-size chroma planes round-trip exactly, a header WITHOUT a C
+    tag decodes as C420 per spec, and the C420jpeg/mpeg2 suffixes are
+    accepted (identical plane layout, different chroma siting)."""
+    from nifi_processors_spark.operators.multimodal import (
+        decode_y4m, encode_y4m,
+    )
+
+    rng = np.random.RandomState(29)
+    y = rng.randint(0, 256, (3, 8, 12), dtype=np.uint8)
+    u = rng.randint(0, 256, (3, 4, 6), dtype=np.uint8)
+    v = rng.randint(0, 256, (3, 4, 6), dtype=np.uint8)
+    payload = encode_y4m(y, u, v, fps=25)
+    assert b" C420\n" in payload
+    y2, u2, v2, fps = decode_y4m(payload)
+    assert fps == 25
+    assert np.array_equal(y, y2) and np.array_equal(u, u2) and np.array_equal(v, v2)
+    # no C tag → C420 by spec default
+    no_tag = payload.replace(b" C420", b"", 1)
+    y3, u3, _v3, _ = decode_y4m(no_tag)
+    assert np.array_equal(y, y3) and np.array_equal(u, u3)
+    # siting-suffix variants parse identically
+    for suffix in (b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+        y4, _, _, _ = decode_y4m(payload.replace(b"C420", suffix, 1))
+        assert np.array_equal(y, y4)
+    # odd dimensions cannot be C420
+    with pytest.raises(ValueError):
+        encode_y4m(y[:, :7, :], u, v)
+
+
+# --------------------------------------------------------------------------
+# baseline JPEG codec (pure numpy + stdlib — closes the compressed-image
+# boundary; lossy, so pytest-gated on bounded error, never in the
+# integer-exact media oracle)
+# --------------------------------------------------------------------------
+
+def test_jpeg_roundtrip_bounded_error_444_and_420():
+    from nifi_processors_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    r = np.arange(40).reshape(40, 1)
+    c = np.arange(56).reshape(1, 56)
+    img = np.stack([
+        np.clip(2 * r + c, 0, 255),
+        np.clip(r + 2 * c, 0, 255),
+        np.clip(120 + r - c // 2, 0, 255),
+    ], axis=-1).astype(np.uint8)
+    for subsample in (False, True):
+        out = decode_jpeg(encode_jpeg(img, quality=92, subsample=subsample))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 8, ("444", subsample, err.max())
+    # odd dimensions force MCU padding + crop on the 4:2:0 path
+    odd = img[:37, :51]
+    out = decode_jpeg(encode_jpeg(odd, quality=92, subsample=True))
+    assert out.shape == odd.shape
+    assert np.abs(out.astype(int) - odd.astype(int)).max() <= 8
+
+
+def test_jpeg_grayscale_near_exact_and_noise_q100():
+    from nifi_processors_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    r = np.arange(24).reshape(24, 1)
+    c = np.arange(33).reshape(1, 33)
+    g = np.clip(3 * r + 2 * c, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (24, 33, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    # q100 quantizes by ~1: even noise survives almost exactly — any
+    # zigzag/huffman/DCT mis-plumbing would blow this bound up
+    noise = np.random.RandomState(1).randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    outn = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert np.abs(outn.astype(int) - noise.astype(int)).max() <= 4
+
+
+def test_jpeg_decoder_honest_boundaries():
+    from nifi_processors_spark.operators.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"nope")
+    # progressive (SOF2) is out of scope and must say so
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big")
+            + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+
+
+def test_jpeg_decodes_real_world_files_when_present():
+    """Independent-encoder validation: baseline JPEGs produced by real
+    encoders (4:2:0 logos, a DRI/RSTn photo) must decode. Skipped when
+    the host fixtures are absent."""
+    import os
+
+    from nifi_processors_spark.operators.jpeg import decode_jpeg
+
+    candidates = [
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+        "python3.11/test/imghdrdata/python.jpg",
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+        "share/doc/rust/html/embedded-book/assets/verify.jpeg",
+    ]
+    found = [p for p in candidates if os.path.exists(p)]
+    if not found:
+        pytest.skip("no real-world JPEG fixtures on this host")
+    for p in found:
+        out = decode_jpeg(open(p, "rb").read())
+        assert out.ndim == 3 and out.shape[2] == 3 and out.size > 0
+        assert out.std() > 0  # decoded actual content, not a flat fill
+
+
+def test_image_features_accept_jpeg_payloads(spark):
+    """Spark plumbing: JPEG payloads ride the same mapInPandas
+    feature-extract path as the lossless codecs."""
+    from nifi_processors_spark.operators.jpeg import encode_jpeg
+    from nifi_processors_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_image_features,
+    )
+
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    rows = [{
+        "media_id": 1, "kind": "image", "payload": encode_jpeg(img),
+        "mime": "image/jpeg", "width": 16, "height": 16, "duration_ms": None,
+    }]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_image_features(media, resize=(8, 8)).collect()
+    assert len(out) == 1
+    feats = out[0]["feat"]
+    assert len(feats) == 64
+    assert all(abs(f - 128 / 255.0) < 0.05 for f in feats)
