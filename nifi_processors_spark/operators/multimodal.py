@@ -263,18 +263,23 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG (8-bit truecolor RGB, no interlace) → (h, w, 3) uint8 —
-    stdlib zlib inflate + the five per-row unfilters in numpy. None and
-    Up are whole-row vectorized; Sub is a per-byte-lane cumsum (the
-    recurrence recon[x] = raw[x] + recon[x-3] telescopes to a mod-256
-    prefix sum); Average and Paeth carry a true loop dependency along
-    the row, so they walk pixels (still numpy 3-vectors per step)."""
+    """PNG (8-bit, non-interlaced; color types 0 grayscale, 2 RGB,
+    3 paletted via PLTE, 4 gray+alpha, 6 RGBA) → (h, w, 3) uint8 RGB
+    (alpha dropped, grayscale replicated, palette indices resolved) —
+    stdlib zlib inflate + the five per-row unfilters in numpy. None
+    and Up are whole-row vectorized; Sub is a per-byte-lane cumsum
+    (the recurrence recon[x] = raw[x] + recon[x-bpp] telescopes to a
+    mod-256 prefix sum); Average and Paeth carry a true loop
+    dependency along the row, so they walk pixels (still numpy
+    bpp-vectors per step). 16-bit, sub-8-bit-palette and interlaced
+    PNGs raise ``NotImplementedError``."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = len(_PNG_SIG), None
     idat = []
+    palette = None
     while pos < len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
         tag = payload[pos + 4 : pos + 8]
@@ -284,24 +289,30 @@ def decode_png(payload: bytes) -> np.ndarray:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             depth, color, _comp, _filt, interlace = body[8:13]
-            if depth != 8 or color != 2 or interlace != 0:
+            if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6):
                 raise NotImplementedError(
-                    "only 8-bit truecolor non-interlaced PNG supported"
+                    "only 8-bit non-interlaced gray/RGB/palette/RGBA "
+                    "PNG supported"
                 )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if color == 3 and palette is None:
+        raise ValueError("paletted PNG missing PLTE")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = 1 + w * 3
+    stride = 1 + w * bpp
     raw = raw.reshape(h, stride)
-    out = np.zeros((h, w, 3), dtype=np.uint8)
-    prev = np.zeros((w, 3), dtype=np.uint8)
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    prev = np.zeros((w, bpp), dtype=np.uint8)
     for r in range(h):
         ft = int(raw[r, 0])
-        row = raw[r, 1:].reshape(w, 3)
+        row = raw[r, 1:].reshape(w, bpp)
         if ft == 0:
             rec = row.copy()
         elif ft == 1:
@@ -309,17 +320,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ft == 2:
             rec = row + prev
         elif ft == 3:
-            rec = np.empty((w, 3), dtype=np.uint8)
-            left = np.zeros(3, dtype=np.uint8)
+            rec = np.empty((w, bpp), dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint8)
             for x in range(w):
                 rec[x] = row[x] + (
                     (left.astype(np.int16) + prev[x].astype(np.int16)) // 2
                 ).astype(np.uint8)
                 left = rec[x]
         elif ft == 4:
-            rec = np.empty((w, 3), dtype=np.uint8)
-            left = np.zeros(3, dtype=np.uint8)
-            upleft = np.zeros(3, dtype=np.uint8)
+            rec = np.empty((w, bpp), dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint8)
+            upleft = np.zeros(bpp, dtype=np.uint8)
             for x in range(w):
                 rec[x] = row[x] + _paeth(left, prev[x], upleft)
                 left, upleft = rec[x], prev[x]
@@ -327,6 +338,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = rec
         prev = rec
+    if color == 0:
+        return np.repeat(out, 3, axis=2)
+    if color == 3:
+        return palette[out[:, :, 0]]  # resolve indices → RGB
+    if color == 4:
+        return np.repeat(out[:, :, :1], 3, axis=2)  # drop alpha
+    if color == 6:
+        return np.ascontiguousarray(out[:, :, :3])  # drop alpha
     return out
 
 

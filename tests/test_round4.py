@@ -632,3 +632,65 @@ def test_image_features_accept_jpeg_payloads(spark):
     feats = out[0]["feat"]
     assert len(feats) == 64
     assert all(abs(f - 128 / 255.0) < 0.05 for f in feats)
+
+
+def test_png_color_types_gray_palette_rgba():
+    """Hand-built PNGs for color types 0/3/4/6 decode to the expected
+    RGB (grayscale replicated, palette resolved, alpha dropped)."""
+    import zlib
+
+    from nifi_processors_spark.operators.multimodal import (
+        _png_chunk, decode_png,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def build(color, bpp, rows, extra=b""):
+        ihdr = (
+            (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([8, color, 0, 0, 0])
+        )
+        raw = b"".join(b"\x00" + r for r in rows)  # filter 0 per row
+        return (
+            sig + _png_chunk(b"IHDR", ihdr) + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # type 0 grayscale
+    g = build(0, 1, [bytes([10, 20]), bytes([30, 40])])
+    out = decode_png(g)
+    assert out[0, 0].tolist() == [10, 10, 10] and out[1, 1].tolist() == [40, 40, 40]
+    # type 3 paletted
+    plte = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    p = build(3, 1, [bytes([0, 1]), bytes([2, 0])], extra=plte)
+    out = decode_png(p)
+    assert out[0, 1].tolist() == [0, 255, 0] and out[1, 0].tolist() == [0, 0, 255]
+    # type 6 RGBA (alpha dropped)
+    rgba_rows = [bytes([1, 2, 3, 255, 4, 5, 6, 0]),
+                 bytes([7, 8, 9, 128, 10, 11, 12, 64])]
+    out = decode_png(build(6, 4, rgba_rows))
+    assert out[0, 1].tolist() == [4, 5, 6] and out[1, 1].tolist() == [10, 11, 12]
+    # type 4 gray+alpha
+    out = decode_png(build(4, 2, [bytes([50, 255, 60, 0]),
+                                  bytes([70, 1, 80, 2])]))
+    assert out[0, 1].tolist() == [60, 60, 60]
+
+
+def test_png_decoder_cross_validates_against_ppm_when_present():
+    """Independent-encoder validation: the same source image decoded
+    through two unrelated paths (real-world paletted PNG vs binary
+    PPM) must be pixel-identical."""
+    import os
+
+    from nifi_processors_spark.operators.multimodal import (
+        decode_png, decode_ppm,
+    )
+
+    base = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/test/imghdrdata/")
+    if not os.path.exists(base + "python.png"):
+        pytest.skip("no real-world PNG fixture on this host")
+    pn = decode_png(open(base + "python.png", "rb").read())
+    pp = decode_ppm(open(base + "python.ppm", "rb").read())
+    assert np.array_equal(pn, pp)
