@@ -453,6 +453,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # spec-legal but rare for baseline: one scan per
+                # component (Ns=1 each). We support only the single
+                # interleaved scan covering all frame components.
+                raise NotImplementedError(
+                    "only a single interleaved scan covering all frame "
+                    "components is supported (per-component scans are a "
+                    "documented boundary)"
+                )
             sel = {}
             for si in range(ns):
                 cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
@@ -469,6 +478,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos = end
             h, w = frame["h"], frame["w"]
             comps = frame["comps"]
+            if ns == 1:
+                # A single-component scan is non-interleaved per the
+                # spec (ISO 10918-1 A.2.2): one 8x8 block per MCU in
+                # raster order over the component's own grid, whatever
+                # sampling factors SOF0 declared. Forcing 1x1 makes the
+                # MCU walk below exactly that raster.
+                comps = [dict(comps[0], h=1, v=1)]
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             # MCU grid over the frame; per-component block grid sized

@@ -52,21 +52,29 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+#: Every media operator carries an ``error_reason`` column (null on
+#: success) — the R2 per-record error-isolation semantic
+#: (≙ failure-relationship routing, PUT:214-230) applied to decode:
+#: one corrupt blob quarantines ONE row instead of failing the Arrow
+#: batch 4× and aborting the whole job. At real-corpus scale corrupt
+#: payloads are a statistical certainty. See ``split_media_errors``.
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("feat", T.ArrayType(T.FloatType()), True),
         T.StructField("out_width", T.IntegerType(), True),
         T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("error_reason", T.StringType(), True),
     ]
 )
 
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("frame_idx", T.IntegerType(), False),
-        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_ts_ms", T.LongType(), True),
         T.StructField("frame", T.BinaryType(), True),
+        T.StructField("error_reason", T.StringType(), True),
     ]
 )
 
@@ -458,24 +466,38 @@ def extract_image_features(
     per-row Python)."""
     rw, rh = resize
 
+    cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_image(payload, fake)
-                # "resize": deterministic crop/pad to (rh, rw)
-                out = np.zeros((rh, rw), dtype=np.float32)
-                s = img[: rh, : rw]
-                out[: s.shape[0], : s.shape[1]] = s
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "feat": (out.ravel() / 255.0).tolist(),
-                        "out_width": rw,
-                        "out_height": rh,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "feat", "out_width", "out_height"])
+                try:
+                    img = _decode_image(payload, fake)
+                    # "resize": deterministic crop/pad to (rh, rw)
+                    out = np.zeros((rh, rw), dtype=np.float32)
+                    s = img[: rh, : rw]
+                    out[: s.shape[0], : s.shape[1]] = s
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "feat": (out.ravel() / 255.0).tolist(),
+                            "out_width": rw,
+                            "out_height": rh,
+                            "error_reason": None,
+                        }
+                    )
+                except Exception as e:  # R2: quarantine, don't abort
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "feat": None,
+                            "out_width": None,
+                            "out_height": None,
+                            "error_reason": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.filter("kind = 'image'").select("media_id", "payload").mapInPandas(
         op, IMAGE_FEATURES_SCHEMA
@@ -492,54 +514,68 @@ def sample_video_frames(
     rate. Compressed containers (MP4 etc.) still need ffmpeg — those
     payloads raise unless ``fake=True``."""
 
+    cols = [f.name for f in FRAME_SAMPLE_SCHEMA.fields]
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                payload = bytes(payload) if payload is not None else b""
-                if payload[:9] == b"YUV4MPEG2":
-                    y, _u, _v, fps = decode_y4m(payload)
-                    n_frames = y.shape[0]
-                    frame_ms = 1000.0 / fps
-                    k = 0
-                    while k < max_frames:
-                        ts = k * every_ms
-                        idx = int(ts / frame_ms)
-                        if idx >= n_frames:
-                            break
+                try:
+                    payload = bytes(payload) if payload is not None else b""
+                    if payload[:9] == b"YUV4MPEG2":
+                        y, _u, _v, fps = decode_y4m(payload)
+                        n_frames = y.shape[0]
+                        frame_ms = 1000.0 / fps
+                        k = 0
+                        while k < max_frames:
+                            ts = k * every_ms
+                            idx = int(ts / frame_ms)
+                            if idx >= n_frames:
+                                break
+                            rows.append(
+                                {
+                                    "media_id": mid,
+                                    "frame_idx": idx,
+                                    "frame_ts_ms": ts,
+                                    "frame": y[idx].tobytes(),
+                                    "error_reason": None,
+                                }
+                            )
+                            k += 1
+                        continue
+                    if not fake:
+                        raise NotImplementedError(
+                            "compressed video decode requires ffmpeg — not "
+                            "in this container; use y4m payloads or "
+                            "fake=True"
+                        )
+                    n = min(max_frames, max(int((dur or 0) // every_ms), 0))
+                    for i in range(n):
+                        tag = hashlib.md5(
+                            (payload or b"") + i.to_bytes(4, "big")
+                        ).digest()
                         rows.append(
                             {
                                 "media_id": mid,
-                                "frame_idx": idx,
-                                "frame_ts_ms": ts,
-                                "frame": y[idx].tobytes(),
+                                "frame_idx": i,
+                                "frame_ts_ms": i * every_ms,
+                                "frame": tag,
+                                "error_reason": None,
                             }
                         )
-                        k += 1
-                    continue
-                if not fake:
-                    raise NotImplementedError(
-                        "compressed video decode requires ffmpeg — not in "
-                        "this container; use y4m payloads or fake=True"
-                    )
-                n = min(max_frames, max(int((dur or 0) // every_ms), 0))
-                for i in range(n):
-                    tag = hashlib.md5(
-                        (payload or b"") + i.to_bytes(4, "big")
-                    ).digest()
+                except Exception as e:  # R2: quarantine, don't abort
                     rows.append(
                         {
                             "media_id": mid,
-                            "frame_idx": i,
-                            "frame_ts_ms": i * every_ms,
-                            "frame": tag,
+                            "frame_idx": None,
+                            "frame_ts_ms": None,
+                            "frame": None,
+                            "error_reason": f"{type(e).__name__}: {e}",
                         }
                     )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame"]
-            )
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.filter("kind = 'video'").select(
         "media_id", "payload", "duration_ms"
@@ -562,6 +598,7 @@ MEDIA_STATS_SCHEMA = T.StructType(
         T.StructField("n_units", T.LongType(), True),
         T.StructField("first_val", T.LongType(), True),
         T.StructField("sum_val", T.LongType(), True),
+        T.StructField("error_reason", T.StringType(), True),
     ]
 )
 
@@ -684,53 +721,57 @@ def media_stats(media: DataFrame) -> DataFrame:
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                payload = bytes(payload)
-                if kind == "audio":
-                    s, _rate = decode_wav(payload)
-                    rows.append(
-                        {
-                            "media_id": int(mid),
-                            "kind": kind,
+                try:
+                    payload = bytes(payload)
+                    if kind == "audio":
+                        s, _rate = decode_wav(payload)
+                        rec = {
                             "width": None,
                             "height": None,
                             "n_units": len(s),
                             "first_val": int(s[0]),
                             "sum_val": int(s.astype(np.int64).sum()),
                         }
-                    )
-                elif kind == "video":
-                    # real y4m decode; stats cover the luma (Y) plane
-                    # across all frames
-                    y, _u, _v, _fps = decode_y4m(payload)
-                    rows.append(
-                        {
-                            "media_id": int(mid),
-                            "kind": kind,
+                    elif kind == "video":
+                        # real y4m decode; stats cover the luma (Y)
+                        # plane across all frames
+                        y, _u, _v, _fps = decode_y4m(payload)
+                        rec = {
                             "width": y.shape[2],
                             "height": y.shape[1],
                             "n_units": int(y.size),
                             "first_val": int(y[0, 0, 0]),
                             "sum_val": int(y.astype(np.int64).sum()),
                         }
-                    )
-                else:
-                    if payload[:2] == b"P6":
-                        arr = decode_ppm(payload)
-                    elif payload[:2] == b"BM":
-                        arr = decode_bmp(payload)
                     else:
-                        arr = decode_png(payload)
-                    rows.append(
-                        {
-                            "media_id": int(mid),
-                            "kind": kind,
+                        if payload[:2] == b"P6":
+                            arr = decode_ppm(payload)
+                        elif payload[:2] == b"BM":
+                            arr = decode_bmp(payload)
+                        else:
+                            arr = decode_png(payload)
+                        rec = {
                             "width": arr.shape[1],
                             "height": arr.shape[0],
                             "n_units": int(arr.size),
                             "first_val": int(arr[0, 0, 0]),
                             "sum_val": int(arr.astype(np.int64).sum()),
                         }
+                    rec.update(
+                        media_id=int(mid), kind=kind, error_reason=None
                     )
+                except Exception as e:  # R2: quarantine, don't abort
+                    rec = {
+                        "media_id": int(mid),
+                        "kind": kind,
+                        "width": None,
+                        "height": None,
+                        "n_units": None,
+                        "first_val": None,
+                        "sum_val": None,
+                        "error_reason": f"{type(e).__name__}: {e}",
+                    }
+                rows.append(rec)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_STATS_SCHEMA.fields]
             )
@@ -738,3 +779,19 @@ def media_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         op, MEDIA_STATS_SCHEMA
     )
+
+
+def split_media_errors(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """R2 routing for media operators: (success, failure) split on the
+    ``error_reason`` column every media operator emits (≙ the
+    reference's success/failure relationship pair, PUT:214-230).
+
+    The failure side keeps its ``error_reason`` and is shaped for
+    ``TransactionalTable.append`` — the same DLQ path the CDC side uses
+    (``streaming/pipeline.py`` dead-letter routing): quarantined rows
+    commit durably, valid rows flow on, nothing aborts."""
+    from pyspark.sql import functions as F
+
+    ok = df.filter(F.col("error_reason").isNull()).drop("error_reason")
+    bad = df.filter(F.col("error_reason").isNotNull())
+    return ok, bad

@@ -1011,11 +1011,16 @@ def _media_decode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents seeds. ≙ the reference's opaque-content passthrough
     (GET:256-257) upgraded to an interpreted payload."""
     from nifi_processors_spark.operators.multimodal import (
-        media_stats, synth_media,
+        media_stats, split_media_errors, synth_media,
     )
 
     tables = load_tables(spark, sf_dir, ["documents"])
-    return media_stats(synth_media(tables["documents"]))
+    # the synthetic corpus is all-valid, so the R2 success/failure
+    # split routes zero rows to the failure side here — the oracle
+    # contract (integer stats, no error column) is unchanged, and the
+    # corrupt-blob path is gated separately in tests/test_round5.py
+    ok, _bad = split_media_errors(media_stats(synth_media(tables["documents"])))
+    return ok
 
 
 def _emb_cosine_topk_blocked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -233,10 +233,30 @@ class MetricsEmitter:
 
     def close(self) -> None:
         """Final drain + stop the background timer (≙ flushSync on
-        shutdown, PUT:369-376)."""
+        shutdown, PUT:369-376).
+
+        A flush may be in flight on the timer thread when close() is
+        called; our own flush() would then hit the single-flight guard
+        and return 0 while records queued during (or re-queued by the
+        failure path of) that racing flush are still pending. So: wait
+        for the in-flight flush to clear, then drain until the queue is
+        empty — bounded by ``buffer_secs`` (min 1s) so a persistently
+        failing sink degrades to best-effort instead of hanging
+        shutdown."""
         with self._lock:
             self._closed = True
             if self._timer is not None:
                 self._timer.cancel()
                 self._timer = None
-        self.flush()
+        deadline = self._clock() + max(1.0, self.buffer_secs)
+        while self._clock() < deadline:
+            with self._lock:
+                busy = self._flushing
+                pending = bool(self._queue or self._dropped)
+            if busy:
+                time.sleep(0.01)
+                continue
+            if not pending:
+                return
+            if self.flush() == 0 and self._sink_failing:
+                return  # sink down: records would just re-queue forever

@@ -1179,8 +1179,20 @@ class TransactionalTable:
                         continue
                     os.remove(abs_p)
                     removed_files += 1
-                if not os.listdir(root):
-                    os.rmdir(root)
+                # empty-dir cleanup gets the SAME grace-window age test
+                # as files: a concurrent writer mkdirs its commit-*/
+                # directory before staging the first file into it, and
+                # removing that still-empty directory mid-commit would
+                # fail the in-flight stage. Old empty dirs (loser
+                # attempts) age out and are collected on a later pass.
+                try:
+                    if (
+                        not os.listdir(root)
+                        and now - os.path.getmtime(root) >= grace_secs
+                    ):
+                        os.rmdir(root)
+                except OSError:
+                    pass  # racing writer created/removed it under us
         for v in expired:
             os.remove(self._manifest_path(v))
         return {

@@ -121,9 +121,11 @@ def test_video_frame_sampling_plumbing(spark):
     assert list(out["frame_ts_ms"]) == [0, 1000, 2000]
 
 
-def test_decode_stub_raises_without_codec(spark):
-    with pytest.raises(Exception) as ei:
-        extract_image_features(media_df(spark), fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    ) or "decode" in str(ei.value)
+def test_decode_unrecognized_payload_quarantines(spark):
+    """Round-5 R2 semantics: an unrecognized image payload no longer
+    aborts the job — the row lands on the failure side with the codec
+    boundary spelled out in error_reason (was: raise → task abort)."""
+    out = extract_image_features(media_df(spark), fake=False).toPandas()
+    assert len(out) == 2
+    assert out["feat"].isna().all()
+    assert all("NotImplementedError" in r for r in out["error_reason"])
