@@ -235,6 +235,35 @@ class TransactionalTable:
             df = df.drop(*INTERNAL_COLS)
         return df
 
+    def read_raw(
+        self, buckets: list[int] | set[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan-only snapshot read for INSERT-ONLY tables, optionally
+        pruned to a set of bucket ids.
+
+        Skips the merge-on-read LWW resolution shuffle: the caller
+        asserts each key was written at most once (true for the
+        incremental-dedup index tables, whose rows are immutable —
+        merge's per-batch watermark guarantees a redelivered batch
+        never lands twice). With ``buckets``, only data files PLACED in
+        those buckets are read — the LSH index probe reads O(touched
+        buckets) of the corpus, not O(corpus). Files written by the
+        unbucketed ``append`` path (bucket = -1) are excluded by any
+        pruned read; index tables write through ``merge`` only."""
+        m = self.manifest(version)
+        schema = self._internal_schema(version)
+        files = m["files"]
+        if buckets is not None:
+            bset = {int(b) for b in buckets}
+            files = [f for f in files if f["bucket"] in bset]
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        if not paths:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*paths)
+        return df.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
+
     def read_lineage(self) -> DataFrame:
         m = self.manifest()
         paths = [os.path.join(self.path, p) for p in m.get("lineage_files", [])]
