@@ -99,55 +99,98 @@ def merge_apply_throughput(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def cpu_control_tasks_per_sec(n_proc: int) -> float:
+    """Pure-CPU control (same md5-loop workload as BENCH/scaling.py):
+    what THIS host delivers at the bench's parallelism, independent of
+    Spark. Recorded in the JSON so every BENCH_r{N} is
+    self-interpreting against co-tenant noise — round 4's 298k-vs-430k
+    merge reading needed a manual re-run to adjudicate; with the
+    control inline, a depressed control explains a depressed wall."""
+    import subprocess
+    import tempfile
+
+    code = (
+        "import hashlib,time,sys\n"
+        "from multiprocessing import Pool\n"
+        "def w(_):\n"
+        "    h=b'x'*64\n"
+        "    for _ in range(200000): h=hashlib.md5(h).digest()\n"
+        "    return 1\n"
+        "if __name__=='__main__':\n"
+        "    t0=time.perf_counter()\n"
+        "    with Pool(int(sys.argv[1])) as p: p.map(w, range(64))\n"
+        "    print(64/(time.perf_counter()-t0))\n"
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(code)
+        path = f.name
+    try:
+        out = subprocess.run(
+            [sys.executable, path, str(n_proc)], capture_output=True, text=True
+        )
+        return round(float(out.stdout.strip()), 1)
+    except Exception:
+        return -1.0
+    finally:
+        os.unlink(path)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    control_before = cpu_control_tasks_per_sec(cpus)
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 16))
 
     import __spark_entry__ as entrymod
 
     # best-of-N per entry: host co-tenant noise swings single runs
     # 2-3× (BENCH/BASELINE.md), so round-over-round comparisons need
-    # repeated attempts — best-of is the standard noise floor
+    # repeated attempts — best-of is the standard noise floor; the
+    # full per-attempt walls are recorded so the spread is visible
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "2"))
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    attempt_walls: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = None
+        walls = []
         for _ in range(attempts):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            walls.append(round(time.perf_counter() - t0, 3))
             del rows
-        timings[name] = round(best, 3)
+        attempt_walls[name] = walls
+        timings[name] = min(walls)
 
     # headline total stays the sum of the query suite (comparable
     # round-over-round); the merge-throughput measurements are
     # reported as their own entries + events/sec
     total = round(sum(timings.values()), 3)
 
-    n_merge_events, merge_sec = 0, None
+    n_merge_events = 0
+    attempt_walls["merge_apply_16x"] = []
     for _ in range(attempts):
         n_merge_events, sec = merge_apply_throughput(spark, sf_dir)
-        merge_sec = sec if merge_sec is None else min(merge_sec, sec)
+        attempt_walls["merge_apply_16x"].append(sec)
+    merge_sec = min(attempt_walls["merge_apply_16x"])
     timings["merge_apply_16x"] = merge_sec
     # the write-optimized strategy on the same stream (delta-append
     # merges + major compaction back to scan-only base files)
-    mor_sec = None
+    attempt_walls["merge_apply_16x_mor"] = []
     for _ in range(attempts):
         _, sec = merge_apply_throughput(spark, sf_dir, strategy="merge-on-read")
-        mor_sec = sec if mor_sec is None else min(mor_sec, sec)
-    timings["merge_apply_16x_mor"] = mor_sec
+        attempt_walls["merge_apply_16x_mor"].append(sec)
+    timings["merge_apply_16x_mor"] = min(attempt_walls["merge_apply_16x_mor"])
+    control_after = cpu_control_tasks_per_sec(cpus)
     out = {
         "metric": "headline query wall time (sf parquet, local mode)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "attempt_walls": attempt_walls,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "attempts_per_entry": attempts,
@@ -155,6 +198,12 @@ def main() -> None:
         "merge_apply_events_per_sec": round(n_merge_events / merge_sec, 1)
         if merge_sec
         else None,
+        # pure-CPU host control bracketing the run (tasks/s, same
+        # md5-loop workload as BENCH/scaling.py): a depressed control
+        # means co-tenant noise, not an engine regression
+        "control_tasks_per_sec": {
+            "before": control_before, "after": control_after,
+        },
     }
     print(json.dumps(out))
 
