@@ -99,6 +99,14 @@ class EngineConfig:
     metrics_path: str = ""  # JSONL sink; empty = log only
     metrics_namespace: str = "cdc"  # ≙ producer metric namespace APP:120-129
 
+    # --- maintenance (round-5 endurance: bounded metadata growth) ---
+    # every Nth committed batch runs table.compact() +
+    # expire_snapshots(maintenance_keep_last) on the MAIN table (the
+    # DLQ has its own fixed cadence); 0 disables. Advisory like the
+    # DLQ pass: a lost race never fails the already-committed batch.
+    maintenance_every_n_batches: int = 64
+    maintenance_keep_last: int = 16
+
     # --- misc ---
     shuffle_partitions: int = 32
     extra_spark_conf: dict = field(default_factory=dict)
@@ -139,6 +147,8 @@ class EngineConfig:
             ("put_rate_limit_events_per_sec", 0, 1_000_000_000),
             ("shuffle_partitions", 1, 1_000_000),
             ("trigger_interval_ms", 0, 86_400_000),
+            ("maintenance_every_n_batches", 0, 1_000_000),
+            ("maintenance_keep_last", 1, 100_000),
         ]:
             v = getattr(self, name)
             if not (lo <= v <= hi):

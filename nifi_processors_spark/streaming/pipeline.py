@@ -358,6 +358,28 @@ class CdcPipeline:
                         "DLQ maintenance failed at version %s", ver,
                         exc_info=True,
                     )
+        # main-table maintenance cadence (round-5 endurance): every Nth
+        # committed version compacts sliver files and expires old
+        # snapshots so a 1,000-micro-batch stream keeps BOUNDED
+        # manifest/data-file counts (the DLQ has its own cadence
+        # above). Advisory like the DLQ pass — the batch is already
+        # committed; a lost race with another writer must not fail it.
+        mver = stats.get("version")
+        if (
+            cfg.maintenance_every_n_batches > 0
+            and mver
+            and mver % cfg.maintenance_every_n_batches == 0
+        ):
+            try:
+                self.table.compact()
+                self.table.expire_snapshots(
+                    keep_last=cfg.maintenance_keep_last
+                )
+            except Exception:
+                _log.warning(
+                    "table maintenance failed at version %s", mver,
+                    exc_info=True,
+                )
         # put-side rate limit (≙ RateLimit APP:150-159, applied
         # PUT:181): pace the trigger so the sustained apply rate stays
         # at or below the configured events/sec — a driver-side sleep,
@@ -374,7 +396,14 @@ class CdcPipeline:
             if remaining > 0:
                 _time.sleep(remaining)
 
-        stats = {**stats, "n_dead_letter": n_dlq}
+        stats = {
+            **stats,
+            "n_dead_letter": n_dlq,
+            # wall per batch — the emitter's per-batch `seconds` field
+            # was always None before round 5 (nothing ever set it);
+            # endurance flatness evidence reads it from the sink
+            "seconds": round(_time.monotonic() - batch_t0, 3),
+        }
         if self.metrics is not None:
             # post-commit, fire-and-forget: reuses the merge's latched
             # Observation values (zero extra jobs); buffered + flushed

@@ -20,7 +20,8 @@ def valid_cfg(**over):
 
 def test_property_surface_exact():
     # ≙ GT:169-191 asserting exactly 18 consumer properties
-    assert len(EngineConfig.property_names()) == 32
+    # (round 5 adds maintenance_every_n_batches / maintenance_keep_last)
+    assert len(EngineConfig.property_names()) == 34
     for must in [
         "binlog_dir", "initial_position", "max_files_per_trigger",
         "n_shards", "table_path", "n_buckets", "salt_buckets",

@@ -229,6 +229,194 @@ def test_jpeg_single_component_scan_noninterleaved():
     assert np.array_equal(out, ref)
 
 
+def test_two_pipelines_one_table_with_maintenance(spark, tmp_path):
+    """Round-5 VERDICT #4 — multi-writer end-to-end soak: two full
+    CdcPipeline instances (distinct sources/checkpoints, ONE table)
+    replay concurrently while the main thread interleaves compact()
+    and expire_snapshots() through a third table handle. Both replays
+    must land (optimistic CC + retries), the final state must equal
+    the single-threaded oracle over the union of both event streams,
+    and no staged files may be lost (state equality IS that check)."""
+    import pandas as pd
+
+    from nifi_processors_spark.config import EngineConfig
+    from nifi_processors_spark.streaming.pipeline import CdcPipeline
+    from nifi_processors_spark.synth import (
+        SynthSpec, generate_events, oracle_apply, write_binlog,
+    )
+    from nifi_processors_spark.table import TransactionalTable
+
+    spec1 = SynthSpec(n_conversations=40, turns_per_conv=4, n_shards=2,
+                      seed=51, segments_per_shard=3)
+    spec2 = SynthSpec(n_conversations=40, turns_per_conv=4, n_shards=2,
+                      seed=52, segments_per_shard=3)
+    e1 = generate_events(spec1)
+    e2 = generate_events(spec2)
+    e2 = e2.assign(conv_id="w2-" + e2["conv_id"])  # disjoint key space
+    write_binlog(e1, str(tmp_path / "bl1"), spec1)
+    write_binlog(e2, str(tmp_path / "bl2"), spec2)
+
+    table_path = str(tmp_path / "table")
+
+    def cfg(n, bl):
+        return EngineConfig(
+            binlog_dir=str(tmp_path / bl),
+            table_path=table_path,
+            dead_letter_path=str(tmp_path / f"dlq{n}"),
+            checkpoint_dir=str(tmp_path / f"ckpt{n}"),
+            source_id=f"w{n}",
+            n_buckets=8,
+            max_files_per_trigger=2,
+            commit_retries=10,
+        )
+
+    p1 = CdcPipeline(spark, cfg(1, "bl1"))
+    p2 = CdcPipeline(spark, cfg(2, "bl2"))
+    q1 = p1.start(available_now=True)
+    q2 = p2.start(available_now=True)
+    maint = TransactionalTable(spark, table_path)
+    maint_runs = maint_errors = 0
+    deadline = time.time() + 300
+    while (q1.isActive or q2.isActive) and time.time() < deadline:
+        time.sleep(1.0)
+        try:
+            maint.compact()
+            maint.expire_snapshots(keep_last=4, grace_secs=600)
+            maint_runs += 1
+        except Exception:
+            maint_errors += 1  # contended maintenance may lose a race
+    q1.awaitTermination(60)
+    q2.awaitTermination(60)
+    assert not q1.isActive and not q2.isActive
+    assert maint_runs >= 1
+
+    expected = (
+        oracle_apply(pd.concat([e1, e2], ignore_index=True))
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got = (
+        p1.table.read()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()[list(expected.columns)]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    # both writers committed their watermarks on the shared table
+    assert p1.table.watermark("w1") is not None
+    assert p1.table.watermark("w2") is not None
+    # maintenance actually bounded the manifest count
+    m = p1.table.manifest()
+    versions = [
+        f for f in os.listdir(os.path.join(table_path, "_log"))
+        if f.startswith("v")
+    ]
+    assert len(versions) <= 4 + 2 * 10  # keep_last + commits since last pass
+    assert m["version"] >= 6  # several interleaved commits happened
+
+
+def test_schema_rename_migration_replay_across_cutover(spark, tmp_path):
+    """Round-5 VERDICT #6: column rename mid-stream. ADD evolves
+    in-flight; rename goes through an explicit transactional rewrite
+    (migrate_rename_column), a producer still emitting the OLD name is
+    rejected LOUDLY (not silently re-added as a null column), and a
+    remapped producer replays to the oracle state under the new
+    schema. Time travel before the cutover still serves the old
+    schema."""
+    import pandas as pd
+
+    from nifi_processors_spark.schema import (
+        CHANGE_EVENTS_SCHEMA,
+        KEY_COLS,
+        LWW_COLS,
+        SchemaEvolutionError,
+        TRANSCRIPTS_SCHEMA,
+    )
+    from nifi_processors_spark.synth import (
+        SynthSpec, generate_events, oracle_apply, write_binlog,
+    )
+    from nifi_processors_spark.table import TransactionalTable
+
+    import glob as _glob
+
+    spec = SynthSpec(n_conversations=30, turns_per_conv=4, n_shards=2,
+                     seed=61, segments_per_shard=4)
+    events = generate_events(spec)
+    write_binlog(events, str(tmp_path / "bl"), spec)
+    segs = sorted(_glob.glob(str(tmp_path / "bl" / "seg-*.parquet")))
+    half = len(segs) // 2
+    tbl = TransactionalTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, KEY_COLS, LWW_COLS,
+        n_buckets=4,
+    )
+    rd = spark.read.schema(CHANGE_EVENTS_SCHEMA)
+    tbl.merge(rd.parquet(*segs[:half]), "s", 0)
+    pre_version = tbl.current_version()
+
+    res = tbl.migrate_rename_column("tool", "tool_name")
+    assert res["migration"] == "rename" and res["renamed_to"] == "tool_name"
+    assert "tool_name" in tbl.read().columns
+    assert "tool" not in tbl.read().columns
+
+    # a producer still emitting the OLD name fails loudly
+    with pytest.raises(SchemaEvolutionError, match="retired"):
+        tbl.merge(rd.parquet(*segs[half:]), "s", 1)
+
+    # the remapped producer replays; final state equals the oracle
+    # modulo the rename
+    part2 = rd.parquet(*segs[half:]).withColumnRenamed("tool", "tool_name")
+    tbl.merge(part2, "s", 1)
+    expected = (
+        oracle_apply(events)
+        .rename(columns={"tool": "tool_name"})
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got = (
+        tbl.read().orderBy("conv_id", "turn_idx")
+        .toPandas()[list(expected.columns)].reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+    # time travel before the cutover serves the OLD schema
+    assert "tool" in tbl.read(version=pre_version).columns
+
+    # drops: structural columns rejected; payload column drops work
+    with pytest.raises(SchemaEvolutionError, match="structural"):
+        tbl.migrate_drop_column("conv_id")
+    tbl.migrate_drop_column("role")
+    assert "role" not in tbl.read().columns
+    assert tbl.read().count() == len(expected)
+
+
+def test_endurance_bounded_metadata(spark, tmp_path):
+    """Round-5 VERDICT #5 (small-N gate; BENCH/endurance.py runs the
+    500-batch campaign): after 60 poison-laced micro-batches with the
+    new maintenance cadence, manifest / data-file / lineage-file
+    counts are all bounded and per-batch wall is flat."""
+    import sys as _sys
+
+    _sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "BENCH")
+    )
+    from endurance import run_endurance
+
+    rep = run_endurance(
+        spark, str(tmp_path / "endur"), n_batches=60,
+        maintenance_every=16, keep_last=4,
+    )
+    assert rep["n_batches"] == 60
+    assert rep["final_rows"] > 0
+    # manifests: ≤ keep_last + one maintenance period + slack
+    assert rep["main_manifests_on_disk"] <= 4 + 16 + 4
+    assert rep["main_data_files"] <= 8  # ≤ one file per bucket
+    assert rep["main_lineage_files"] <= 17  # folded each cadence pass
+    assert rep["metrics_dropped"] == 0
+    # flat per-batch wall (generous noise bound — the real flatness
+    # evidence is the 500-batch BENCH campaign)
+    assert rep["batch_sec_last"] <= 2 * rep["batch_sec_first"] + 0.5
+
+
 def test_expire_keeps_young_empty_commit_dir(spark, tmp_path):
     """ADVICE r5 #3: a concurrent writer's just-created, still-empty
     commit directory survives expire's empty-dir sweep inside the
