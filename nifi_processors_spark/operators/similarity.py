@@ -13,7 +13,7 @@ Two implementations of cosine top-k:
   the final global top-k aggregation. 100× fewer rows shuffle than the
   join formulation; this is the standard brute-force-ANN layout
   (IVF/LSH bucketing composes on top by pre-filtering candidates —
-  see ``emb_lsh_buckets`` in plans/sql_queries.py for the bucketing).
+  see ``emb_lsh_ann_pairs`` in plans/sql_queries.py for the bucketing).
 """
 
 from __future__ import annotations
