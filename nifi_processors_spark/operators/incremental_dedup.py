@@ -81,6 +81,16 @@ DOCS_SCHEMA = T.StructType(
     ]
 )
 
+#: durable near-dup flag stream (start_stream's optional sink)
+PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType(), False),
+        T.StructField("doc_b", T.LongType(), False),
+        T.StructField("jaccard", T.DoubleType(), True),
+        T.StructField("batch_id", T.LongType(), False),
+    ]
+)
+
 #: the three (band-pair) projections of the 6-hash signature — MUST
 #: stay in lockstep with MH_REST_TPL's bands_raw (plans/sql_queries)
 _BAND_PAIRS = (("m0", "m1"), ("m2", "m3"), ("m4", "m5"))
@@ -159,9 +169,14 @@ class MinHashLshIndex:
             MH_E_TPL, MH_SIG_TPL,
         )
 
+        # inside foreachBatch the batch DataFrame belongs to a
+        # micro-batch-scoped session whose temp-view catalog is NOT
+        # the driver session's — resolve views through the batch's own
+        # session or the SQL below can't see them
+        sess = docs.sparkSession
         tag = f"mh_inc_{uuid.uuid4().hex[:8]}"
         docs.createOrReplaceTempView(tag)
-        e = self.spark.sql(
+        e = sess.sql(
             render(
                 MH_E_TPL.format(corpus=f"SELECT doc_id, text FROM {tag}"),
                 "spark",
@@ -169,7 +184,7 @@ class MinHashLshIndex:
         )
         self._pin(e).createOrReplaceTempView(f"{tag}_e")
         sig = self._pin(
-            self.spark.sql(render(MH_SIG_TPL.format(e=f"{tag}_e"), "spark"))
+            sess.sql(render(MH_SIG_TPL.format(e=f"{tag}_e"), "spark"))
         )
         return e, sig
 
@@ -343,6 +358,63 @@ class MinHashLshIndex:
             "docs": st_docs,
         }
         return pairs, stats
+
+    # ------------------------------------------------------- streaming
+
+    def start_stream(
+        self,
+        docs_stream,
+        checkpoint_dir: str,
+        pairs_path: str | None = None,
+        source_id: str = "docs",
+        maintain_every: int = 64,
+        available_now: bool = True,
+    ):
+        """Run the index as a Structured Streaming sink: each
+        micro-batch probes-and-appends inside ``foreachBatch`` (the
+        same exactly-once shape as the CDC pipeline — Spark's
+        checkpoint makes delivery at-least-once, the tables'
+        (source_id, batch_id) watermarks make the appends idempotent,
+        and ``ingest``'s batch_id < current reads make the PAIRS
+        redelivery-identical too).
+
+        ``docs_stream``: streaming DataFrame of (doc_id, text).
+        ``pairs_path``: optional TransactionalTable path; each batch's
+        near-dup pairs are appended there (idempotent per batch) so
+        the flag stream is durable, not just observed. Returns the
+        StreamingQuery."""
+        pairs_tbl = None
+        if pairs_path is not None:
+            if TransactionalTable.exists(self.spark, pairs_path):
+                pairs_tbl = TransactionalTable(self.spark, pairs_path)
+            else:
+                pairs_tbl = TransactionalTable.create(
+                    self.spark, pairs_path, PAIRS_SCHEMA,
+                    key_cols=["doc_a", "doc_b"], lww_cols=["batch_id"],
+                    n_buckets=self.n_buckets, bucket_cols=["doc_a"],
+                )
+
+        def _apply(df, batch_id: int):
+            pairs, _st = self.ingest(df, batch_id, source_id=source_id)
+            if pairs_tbl is not None:
+                pairs_tbl.append(
+                    pairs.withColumn("batch_id", F.lit(int(batch_id))),
+                    source_id=f"{source_id}::pairs", batch_id=int(batch_id),
+                )
+            if maintain_every and (int(batch_id) + 1) % maintain_every == 0:
+                try:
+                    self.maintain()
+                except Exception:
+                    pass  # advisory, same contract as pipeline DLQ pass
+
+        writer = (
+            docs_stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(f"lsh-index-{source_id}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     # ----------------------------------------------------- maintenance
 
