@@ -117,7 +117,9 @@ def run_endurance(
         r["seconds"] for r in recs
         if r.get("kind") == "batch" and r.get("seconds") is not None
     ]
-    k = max(10, len(batch_secs) // 10)
+    # window size never exceeds the sample count (short runs would
+    # otherwise divide a partial slice by k and overlap the windows)
+    k = max(1, min(len(batch_secs), max(10, len(batch_secs) // 10)))
     m_main = pipe.table.manifest()
     m_dlq = pipe.dead_letter.manifest()
     log_count = lambda p: len(  # noqa: E731
@@ -135,8 +137,10 @@ def run_endurance(
         "dlq_version": m_dlq["version"],
         "dlq_manifests_on_disk": log_count(cfg.dead_letter_path),
         "dlq_data_files": len(m_dlq["files"]),
-        "batch_sec_first": round(sum(batch_secs[:k]) / k, 3),
-        "batch_sec_last": round(sum(batch_secs[-k:]) / k, 3),
+        "batch_sec_first": round(sum(batch_secs[:k]) / len(batch_secs[:k]), 3)
+        if batch_secs else None,
+        "batch_sec_last": round(sum(batch_secs[-k:]) / len(batch_secs[-k:]), 3)
+        if batch_secs else None,
         "rss_mb_start": rss_samples[0],
         "rss_mb_end": rss_samples[-1],
         "rss_mb_max": max(rss_samples),

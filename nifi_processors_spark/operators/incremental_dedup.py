@@ -47,6 +47,7 @@ DuckDB oracle.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import uuid
 
@@ -56,6 +57,8 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from nifi_processors_spark.table import TransactionalTable
+
+log = logging.getLogger(__name__)
 
 BANDS_SCHEMA = T.StructType(
     [
@@ -111,6 +114,11 @@ class MinHashLshIndex:
         self.docs = TransactionalTable(spark, os.path.join(path, "docs"))
         self._pins: list[DataFrame] = []      # per-ingest intermediates
         self._result_pins: list[DataFrame] = []  # returned pair DataFrames
+        # FIXED per-instance view tag: createOrReplaceTempView then
+        # overwrites in place each batch instead of leaking two
+        # uuid-named catalog entries per micro-batch for the stream's
+        # lifetime (unique across concurrently-open indexes)
+        self._tag = f"mh_inc_{uuid.uuid4().hex[:8]}"
 
     # ------------------------------------------------------------- DDL
 
@@ -174,7 +182,7 @@ class MinHashLshIndex:
         # the driver session's — resolve views through the batch's own
         # session or the SQL below can't see them
         sess = docs.sparkSession
-        tag = f"mh_inc_{uuid.uuid4().hex[:8]}"
+        tag = self._tag
         docs.createOrReplaceTempView(tag)
         e = sess.sql(
             render(
@@ -401,11 +409,25 @@ class MinHashLshIndex:
                     pairs.withColumn("batch_id", F.lit(int(batch_id))),
                     source_id=f"{source_id}::pairs", batch_id=int(batch_id),
                 )
+            # streaming mode: nobody holds the returned pairs handle —
+            # release its cache NOW (after the durable append) or the
+            # result-pin list grows one persisted DataFrame per
+            # micro-batch for the stream's lifetime
+            self._release_results()
             if maintain_every and (int(batch_id) + 1) % maintain_every == 0:
+                # advisory like the pipeline's DLQ pass — but a
+                # persistently failing maintenance pass means unbounded
+                # index growth, so it must be visible
                 try:
                     self.maintain()
+                    if pairs_tbl is not None:
+                        pairs_tbl.compact()
+                        pairs_tbl.expire_snapshots(keep_last=8)
                 except Exception:
-                    pass  # advisory, same contract as pipeline DLQ pass
+                    log.warning(
+                        "LSH index maintenance failed at batch %s",
+                        batch_id, exc_info=True,
+                    )
 
         writer = (
             docs_stream.writeStream.foreachBatch(_apply)
@@ -432,14 +454,17 @@ class MinHashLshIndex:
             }
         return out
 
-    def close(self) -> None:
-        """Unpersist everything, including returned pair DataFrames
-        (callers that hand results to a longer-lived cache manager pop
-        ``_result_pins`` themselves first)."""
-        self._release()
+    def _release_results(self) -> None:
         while self._result_pins:
             df = self._result_pins.pop()
             try:
                 df.unpersist()
             except Exception:
                 pass
+
+    def close(self) -> None:
+        """Unpersist everything, including returned pair DataFrames
+        (callers that hand results to a longer-lived cache manager pop
+        ``_result_pins`` themselves first)."""
+        self._release()
+        self._release_results()

@@ -664,6 +664,13 @@ WHERE cast(i.ni AS double) / (sa.n + sb.n - i.ni) >= 0.5
 """
 
 
+#: /tmp index dirs from prior incremental-query invocations, removed
+#: on the next invocation (after its release_caches) — bounds leakage
+#: to at most one live index without risking a cache-eviction
+#: recompute reading deleted files mid-flight
+_INC_TMP_DIRS: list[str] = []
+
+
 def _minhash_incremental_oracle(corpus: str, cap: int, k: int) -> str:
     e = MH_E_TPL.format(corpus=corpus)
     return render(
@@ -692,9 +699,18 @@ def _minhash_incremental_spark(corpus_tpl: str, cap: int, k: int):
         )
 
         release_caches()
+        # remove the PREVIOUS invocation's index dirs (their cached
+        # results were just unpersisted above) — each gate/bench run
+        # would otherwise leave a /tmp index holding the corpus's
+        # shingle store behind
+        while _INC_TMP_DIRS:
+            import shutil
+
+            shutil.rmtree(_INC_TMP_DIRS.pop(), ignore_errors=True)
         load_tables(spark, sf_dir, ["documents"])
         corpus = spark.sql(render(corpus_tpl, "spark"))
         base = tempfile.mkdtemp(prefix="mh_inc_idx_")
+        _INC_TMP_DIRS.append(base)
         idx = MinHashLshIndex.create(
             spark, os.path.join(base, "idx"), cap=cap, n_buckets=16
         )

@@ -258,5 +258,18 @@ class MetricsEmitter:
                 continue
             if not pending:
                 return
-            if self.flush() == 0 and self._sink_failing:
-                return  # sink down: records would just re-queue forever
+            if self.flush() > 0:
+                continue  # drained something; loop to confirm empty
+            # flush() returned 0: either we raced another flush that
+            # snuck in (keep waiting — _sink_failing may be a STALE
+            # flag from before that flush succeeded), or our own
+            # attempt genuinely hit the failing sink (give up — the
+            # records would just re-queue forever)
+            with self._lock:
+                busy = self._flushing
+                failing = self._sink_failing
+            if busy:
+                time.sleep(0.01)
+                continue
+            if failing:
+                return

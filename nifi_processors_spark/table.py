@@ -1244,8 +1244,17 @@ class TransactionalTable:
         names = [f.name for f in schema.fields]
         if old not in names:
             raise SchemaEvolutionError(f"no such column {old!r}")
-        if new is not None and (new in names or new in INTERNAL_COLS):
-            raise SchemaEvolutionError(f"column {new!r} already exists")
+        # reserved names: the stream envelope (op/seq/shard/arrival_*)
+        # is stripped from batch payloads before merge, so a payload
+        # column renamed onto one of those names would silently absorb
+        # the envelope value instead of producer data; _bucket is the
+        # write path's partition column
+        reserved = {"op", "seq", "shard", "arrival_ts", "arrival_idx",
+                    "_bucket", *INTERNAL_COLS}
+        if new is not None and (new in names or new in reserved):
+            raise SchemaEvolutionError(
+                f"column {new!r} already exists or is a reserved name"
+            )
         structural = (
             set(m["key_cols"])
             | set(m.get("bucket_cols") or [])
@@ -1316,7 +1325,14 @@ class TransactionalTable:
             "bucket_cols": [_ren(c) for c in (m.get("bucket_cols") or [])],
             "lww_cols": [_ren(c) for c in (m.get("lww_cols") or [])],
             "files": new_files,
-            "retired_cols": sorted(set(m.get("retired_cols") or []) | {old}),
+            # a rename RETIRES the old name and, crucially, UN-retires
+            # the new one: renaming a→b then b→a (or re-introducing a
+            # previously dropped name via rename) must leave the live
+            # name mergeable again, or the retired-name guard would
+            # reject every future batch — permanently bricking writes
+            "retired_cols": sorted(
+                (set(m.get("retired_cols") or []) | {old}) - {new}
+            ),
             "parent": m["version"],
             "stats": {
                 "migration": "rename" if new is not None else "drop",

@@ -388,6 +388,20 @@ def test_schema_rename_migration_replay_across_cutover(spark, tmp_path):
     assert "role" not in tbl.read().columns
     assert tbl.read().count() == len(expected)
 
+    # reserved stream-envelope names rejected as rename targets (a
+    # payload column named 'seq' would silently absorb the CDC seq)
+    with pytest.raises(SchemaEvolutionError, match="reserved"):
+        tbl.migrate_rename_column("tool_name", "seq")
+
+    # rename BACK un-retires the live name: tool was retired by the
+    # first rename; tool_name -> tool must leave 'tool' mergeable
+    # again or every future batch is rejected (review fix)
+    tbl.migrate_rename_column("tool_name", "tool")
+    replay = rd.parquet(*segs[:half]).drop("role")  # role stays retired
+    st = tbl.merge(replay, "s", 2)  # LWW-idempotent re-apply
+    assert not st.get("skipped")
+    assert tbl.read().count() == len(expected)
+
 
 def test_endurance_bounded_metadata(spark, tmp_path):
     """Round-5 VERDICT #5 (small-N gate; BENCH/endurance.py runs the
