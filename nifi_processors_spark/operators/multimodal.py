@@ -7,17 +7,17 @@ plumbing — schema, Arrow-batched ``mapInPandas`` operators, batch
 shaping, partition sizing — is real and tested.
 
 Codecs: everything decodes FOR REAL with no external libraries — PPM
-(P6) and 24-bit BMP via numpy, PNG via stdlib zlib + the five row
-unfilters, PCM WAV via stdlib ``wave``, YUV4MPEG2 video (C444 + the
-C420 family) via raw-plane parsing, and baseline JPEG (4:4:4/4:2:2/
-4:2:0, restart intervals) via the pure-numpy codec in
-``operators/jpeg.py``. Lossless codecs are oracle-gated
+(P6) and 24-bit BMP via numpy, PNG at full static-image spec coverage
+(all color types, depths 1/2/4/8/16, Adam7 interlace) via stdlib zlib
++ the five row unfilters, PCM WAV via stdlib ``wave``, YUV4MPEG2
+video (C444 + the C420 family) via raw-plane parsing, and baseline
+JPEG (4:4:4/4:2:2/4:2:0, restart intervals) via the pure-numpy codec
+in ``operators/jpeg.py``. Lossless codecs are oracle-gated
 (``media_decode_features``, integer-exact); JPEG is lossy and
 therefore pytest-gated on bounded error. Remaining honest boundaries:
-progressive/arithmetic JPEG, 16-bit/paletted/interlaced PNG, and
-compressed video containers (MP4 needs ffmpeg) — those raise
-``NotImplementedError`` unless ``fake=True`` (the deterministic fake
-used by plumbing tests).
+progressive/arithmetic JPEG and compressed video containers (MP4
+needs ffmpeg) — those raise ``NotImplementedError`` unless
+``fake=True`` (the deterministic fake used by plumbing tests).
 
 At 100 TB scale the rules these operators encode:
 * binary columns ride in parquet with metadata columns beside them —
@@ -270,17 +270,94 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# Adam7 pass geometry: (x offset, y offset, x step, y step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+# Legal bit depths per PNG color type (spec §11.2.2).
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+    4: (8, 16), 6: (8, 16),
+}
+
+
+def _png_unfilter(raw: np.ndarray, nrows: int, rowbytes: int, fbpp: int):
+    """Undo PNG per-row filtering over one (sub-)image: ``raw`` is the
+    nrows*(1+rowbytes) inflated byte slice (filter tag + filtered
+    bytes per row), ``fbpp`` the filter's bytes-per-pixel distance
+    (max(1, channels*depth/8)). None and Up are whole-row vectorized;
+    Sub is a per-byte-lane cumsum (recon[x] = raw[x] + recon[x-bpp]
+    telescopes to a mod-256 prefix sum); Average and Paeth carry a
+    true loop dependency along the row, so they walk pixels (numpy
+    fbpp-vectors per step). Returns (nrows, rowbytes) uint8."""
+    raw = raw.reshape(nrows, 1 + rowbytes)
+    n = rowbytes // fbpp
+    out = np.zeros((nrows, n, fbpp), dtype=np.uint8)
+    prev = np.zeros((n, fbpp), dtype=np.uint8)
+    for r in range(nrows):
+        ft = int(raw[r, 0])
+        row = raw[r, 1:].reshape(n, fbpp)
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:
+            rec = np.cumsum(row, axis=0, dtype=np.uint64).astype(np.uint8)
+        elif ft == 2:
+            rec = row + prev
+        elif ft == 3:
+            rec = np.empty((n, fbpp), dtype=np.uint8)
+            left = np.zeros(fbpp, dtype=np.uint8)
+            for x in range(n):
+                rec[x] = row[x] + (
+                    (left.astype(np.int16) + prev[x].astype(np.int16)) // 2
+                ).astype(np.uint8)
+                left = rec[x]
+        elif ft == 4:
+            rec = np.empty((n, fbpp), dtype=np.uint8)
+            left = np.zeros(fbpp, dtype=np.uint8)
+            upleft = np.zeros(fbpp, dtype=np.uint8)
+            for x in range(n):
+                rec[x] = row[x] + _paeth(left, prev[x], upleft)
+                left, upleft = rec[x], prev[x]
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec
+        prev = rec
+    return out.reshape(nrows, rowbytes)
+
+
+def _png_rows_to_samples(
+    recon: np.ndarray, pw: int, channels: int, depth: int
+) -> np.ndarray:
+    """(nrows, rowbytes) reconstructed bytes → (nrows, pw, channels)
+    uint8 samples. 16-bit takes the MSB (the standard 8-bit
+    reduction); sub-8-bit unpacks big-endian bit groups and returns
+    RAW values (the caller scales grayscale, palette wants indices)."""
+    nrows = recon.shape[0]
+    if depth == 8:
+        return recon.reshape(nrows, pw, channels)
+    if depth == 16:
+        return np.ascontiguousarray(
+            recon.reshape(nrows, pw, channels, 2)[..., 0]
+        )
+    bits = np.unpackbits(recon, axis=1)[:, : pw * channels * depth]
+    groups = bits.reshape(nrows, pw, channels, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights).sum(axis=3, dtype=np.uint16).astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG (8-bit, non-interlaced; color types 0 grayscale, 2 RGB,
-    3 paletted via PLTE, 4 gray+alpha, 6 RGBA) → (h, w, 3) uint8 RGB
-    (alpha dropped, grayscale replicated, palette indices resolved) —
-    stdlib zlib inflate + the five per-row unfilters in numpy. None
-    and Up are whole-row vectorized; Sub is a per-byte-lane cumsum
-    (the recurrence recon[x] = raw[x] + recon[x-bpp] telescopes to a
-    mod-256 prefix sum); Average and Paeth carry a true loop
-    dependency along the row, so they walk pixels (still numpy
-    bpp-vectors per step). 16-bit, sub-8-bit-palette and interlaced
-    PNGs raise ``NotImplementedError``."""
+    """PNG → (h, w, 3) uint8 RGB — full static-image spec coverage
+    with stdlib zlib + numpy: all five color types (0 gray, 2 RGB,
+    3 paletted, 4 gray+alpha, 6 RGBA), all legal bit depths per type
+    (1/2/4/8/16; 16-bit reduced to the high byte, sub-8-bit grayscale
+    rescaled to full range, palette indices resolved via PLTE), both
+    interlace methods (none and Adam7 — each of the seven passes is an
+    independently filtered sub-image unfiltered on its own geometry
+    then scattered into the output grid). Alpha is dropped, grayscale
+    replicated to RGB. Illegal depth/type combinations raise
+    ``ValueError``."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -297,11 +374,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             depth, color, _comp, _filt, interlace = body[8:13]
-            if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6):
-                raise NotImplementedError(
-                    "only 8-bit non-interlaced gray/RGB/palette/RGBA "
-                    "PNG supported"
+            if color not in _PNG_DEPTHS or depth not in _PNG_DEPTHS[color]:
+                raise ValueError(
+                    f"illegal PNG depth/color combination {depth}/{color}"
                 )
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
         elif tag == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -312,41 +390,25 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if color == 3 and palette is None:
         raise ValueError("paletted PNG missing PLTE")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = 1 + w * bpp
-    raw = raw.reshape(h, stride)
-    out = np.zeros((h, w, bpp), dtype=np.uint8)
-    prev = np.zeros((w, bpp), dtype=np.uint8)
-    for r in range(h):
-        ft = int(raw[r, 0])
-        row = raw[r, 1:].reshape(w, bpp)
-        if ft == 0:
-            rec = row.copy()
-        elif ft == 1:
-            rec = np.cumsum(row, axis=0, dtype=np.uint64).astype(np.uint8)
-        elif ft == 2:
-            rec = row + prev
-        elif ft == 3:
-            rec = np.empty((w, bpp), dtype=np.uint8)
-            left = np.zeros(bpp, dtype=np.uint8)
-            for x in range(w):
-                rec[x] = row[x] + (
-                    (left.astype(np.int16) + prev[x].astype(np.int16)) // 2
-                ).astype(np.uint8)
-                left = rec[x]
-        elif ft == 4:
-            rec = np.empty((w, bpp), dtype=np.uint8)
-            left = np.zeros(bpp, dtype=np.uint8)
-            upleft = np.zeros(bpp, dtype=np.uint8)
-            for x in range(w):
-                rec[x] = row[x] + _paeth(left, prev[x], upleft)
-                left, upleft = rec[x], prev[x]
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[r] = rec
-        prev = rec
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    fbpp = max(1, channels * depth // 8)
+    buf = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in passes:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no bytes at all
+        rowbytes = (pw * channels * depth + 7) // 8
+        need = ph * (1 + rowbytes)
+        recon = _png_unfilter(buf[pos : pos + need], ph, rowbytes, fbpp)
+        pos += need
+        out[y0::ys, x0::xs] = _png_rows_to_samples(recon, pw, channels, depth)
     if color == 0:
+        if depth < 8:  # exact full-range rescale: 255/(2^d-1) is integral
+            out = out * np.uint8(255 // ((1 << depth) - 1))
         return np.repeat(out, 3, axis=2)
     if color == 3:
         return palette[out[:, :, 0]]  # resolve indices → RGB

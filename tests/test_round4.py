@@ -35,15 +35,16 @@ def test_png_decoder_rejects_unsupported():
 
     with pytest.raises(ValueError):
         decode_png(b"notapng")
-    # 16-bit / paletted / interlaced PNGs are an honest boundary
+    # 16-bit/interlaced became supported in round 5; spec-illegal
+    # depth/color combinations are the remaining hard boundary
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr_16bit = (
+    ihdr_bad = (
         (13).to_bytes(4, "big") + b"IHDR"
         + (4).to_bytes(4, "big") + (4).to_bytes(4, "big")
-        + bytes([16, 2, 0, 0, 0]) + b"\x00" * 4
+        + bytes([16, 3, 0, 0, 0]) + b"\x00" * 4  # 16-bit palette: illegal
     )
-    with pytest.raises(NotImplementedError):
-        decode_png(sig + ihdr_16bit)
+    with pytest.raises(ValueError):
+        decode_png(sig + ihdr_bad)
 
 
 def test_bmp_decode_is_vectorized_and_padded_rows_exact():

@@ -461,3 +461,160 @@ def test_expire_keeps_young_empty_commit_dir(spark, tmp_path):
     assert not res.get("skipped")
     assert os.path.isdir(young), "young empty commit dir must survive"
     assert not os.path.exists(old), "aged-out empty dir is collected"
+
+
+# ---------------------------------------------------------------------------
+# Full-spec PNG coverage: Adam7 interlace, 16-bit, sub-8-bit depths.
+# The encoder below is an INDEPENDENT spec-driven path (pass
+# extraction, big-endian bit packing, 16-bit widening) so decoder bugs
+# cannot cancel against product-encoder bugs.
+# ---------------------------------------------------------------------------
+
+_ADAM7_REF = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _ref_png(samples, depth, color, interlace=0, palette=None):
+    """Spec-driven PNG writer for tests: samples (h, w, channels) int
+    arrays of RAW sample values (< 2**depth), filter type 0 rows,
+    Adam7 pass extraction per PNG spec §8.2."""
+    import zlib
+
+    from nifi_processors_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk,
+    )
+
+    h, w, _ch = samples.shape
+
+    def pack(px):
+        rows = []
+        for r in range(px.shape[0]):
+            flat = px[r].reshape(-1)
+            if depth == 8:
+                data = flat.astype(np.uint8).tobytes()
+            elif depth == 16:
+                # widen 8-bit sample s to the 16-bit value s*257
+                # (0xSS SS) so the decoder's MSB reduction recovers s
+                data = (flat.astype(np.uint16) * 257).astype(">u2").tobytes()
+            else:
+                bits = np.unpackbits(
+                    flat.astype(np.uint8).reshape(-1, 1), axis=1
+                )[:, 8 - depth:]
+                data = np.packbits(bits.reshape(-1)).tobytes()
+            rows.append(b"\x00" + data)
+        return b"".join(rows)
+
+    if interlace:
+        raw = b"".join(
+            pack(samples[y0::ys, x0::xs])
+            for x0, y0, xs, ys in _ADAM7_REF
+            if samples[y0::ys, x0::xs].size
+        )
+    else:
+        raw = pack(samples)
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, color, 0, 0, 1 if interlace else 0])
+    )
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return chunks + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def test_png_16bit_rgb_and_gray():
+    from nifi_processors_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    out = decode_png(_ref_png(rgb, 16, 2))
+    assert np.array_equal(out, rgb)
+    gray = rng.integers(0, 256, (5, 6, 1), dtype=np.uint8)
+    out = decode_png(_ref_png(gray, 16, 0))
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub8_grayscale_rescaled(depth):
+    """Sub-8-bit gray samples come back rescaled to full range by the
+    exact integer factor 255/(2^d-1); odd widths exercise the row-end
+    bit padding."""
+    from nifi_processors_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(depth)
+    g = rng.integers(0, 1 << depth, (6, 5, 1), dtype=np.uint8)
+    out = decode_png(_ref_png(g, depth, 0))
+    scale = 255 // ((1 << depth) - 1)
+    assert np.array_equal(out, np.repeat(g * scale, 3, axis=2))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub8_palette(depth):
+    from nifi_processors_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(10 + depth)
+    ncol = 1 << depth
+    palette = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, (7, 3, 1), dtype=np.uint8)
+    out = decode_png(_ref_png(idx, depth, 3, palette=palette))
+    assert np.array_equal(out, palette[idx[:, :, 0]])
+
+
+@pytest.mark.parametrize("hw", [(1, 1), (3, 3), (5, 7), (8, 8), (13, 11)])
+def test_png_adam7_matches_sequential(hw):
+    """Interlaced and non-interlaced encodings of the same pixels must
+    decode identically — including tiny sizes where whole Adam7 passes
+    are empty and contribute zero bytes."""
+    from nifi_processors_spark.operators.multimodal import decode_png
+
+    h, w = hw
+    rng = np.random.default_rng(h * 100 + w)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    seq = decode_png(_ref_png(rgb, 8, 2, interlace=0))
+    lace = decode_png(_ref_png(rgb, 8, 2, interlace=1))
+    assert np.array_equal(seq, rgb)
+    assert np.array_equal(lace, rgb)
+
+
+def test_png_adam7_16bit_gray_alpha():
+    """Interlace composed with 16-bit and alpha-bearing color types."""
+    from nifi_processors_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(77)
+    ga = rng.integers(0, 256, (10, 9, 2), dtype=np.uint8)
+    out = decode_png(_ref_png(ga, 16, 4, interlace=1))
+    assert np.array_equal(out, np.repeat(ga[:, :, :1], 3, axis=2))
+    rgba = rng.integers(0, 256, (6, 11, 4), dtype=np.uint8)
+    out = decode_png(_ref_png(rgba, 8, 6, interlace=1))
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_png_adam7_real_image_roundtrip():
+    """Decode a real-world RGB8 PNG, re-encode it Adam7-interlaced via
+    the independent spec encoder, and require pixel-identical decode."""
+    from nifi_processors_spark.operators.multimodal import decode_png
+
+    path = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "tk8.6/demos/images/ouster.png")
+    if not os.path.exists(path):
+        pytest.skip("real-world PNG not present")
+    px = decode_png(open(path, "rb").read())
+    lace = decode_png(_ref_png(px, 8, 2, interlace=1))
+    assert np.array_equal(lace, px)
+
+
+def test_png_rejects_illegal_combo():
+    from nifi_processors_spark.operators.multimodal import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    bad = (
+        (13).to_bytes(4, "big") + b"IHDR"
+        + (4).to_bytes(4, "big") + (4).to_bytes(4, "big")
+        + bytes([2, 2, 0, 0, 0]) + b"\x00" * 4  # depth 2 truecolor
+    )
+    with pytest.raises(ValueError):
+        decode_png(sig + bad)
