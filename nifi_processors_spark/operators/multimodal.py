@@ -12,12 +12,14 @@ Codecs: everything decodes FOR REAL with no external libraries — PPM
 + the five row unfilters, PCM WAV via stdlib ``wave``, YUV4MPEG2
 video (C444 + the C420 family) via raw-plane parsing, and baseline
 JPEG (4:4:4/4:2:2/4:2:0, restart intervals) via the pure-numpy codec
-in ``operators/jpeg.py``. Lossless codecs are oracle-gated
-(``media_decode_features``, integer-exact); JPEG is lossy and
-therefore pytest-gated on bounded error. Remaining honest boundaries:
-progressive/arithmetic JPEG and compressed video containers (MP4
-needs ffmpeg) — those raise ``NotImplementedError`` unless
-``fake=True`` (the deterministic fake used by plumbing tests).
+in ``operators/jpeg.py`` — both baseline sequential (SOF0) and
+progressive (SOF2: spectral selection, successive approximation, EOB
+runs). Lossless codecs are oracle-gated (``media_decode_features``,
+integer-exact); JPEG is lossy and therefore pytest-gated on bounded
+error. Remaining honest boundaries: arithmetic-coded JPEG and
+compressed video containers (MP4 needs ffmpeg) — those raise
+``NotImplementedError`` unless ``fake=True`` (the deterministic fake
+used by plumbing tests).
 
 At 100 TB scale the rules these operators encode:
 * binary columns ride in parquet with metadata columns beside them —

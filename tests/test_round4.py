@@ -583,12 +583,13 @@ def test_jpeg_decoder_honest_boundaries():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"nope")
-    # progressive (SOF2) is out of scope and must say so
-    sof2 = (b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big")
+    # progressive (SOF2) became supported in round 5; arithmetic-coded
+    # (SOF9) remains the honest boundary and must say so
+    sof9 = (b"\xff\xd8" + b"\xff\xc9" + (11).to_bytes(2, "big")
             + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
             + bytes([1, 1, 0x11, 0]))
     with pytest.raises(NotImplementedError):
-        decode_jpeg(sof2)
+        decode_jpeg(sof9)
 
 
 def test_jpeg_decodes_real_world_files_when_present():

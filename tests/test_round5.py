@@ -618,3 +618,78 @@ def test_png_rejects_illegal_combo():
     )
     with pytest.raises(ValueError):
         decode_png(sig + bad)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2, T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+def _textured(h, w, seed):
+    """Smooth gradient + noise so AC coefficients span magnitudes and
+    successive-approximation refinement bits actually fire."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 100 * np.sin(yy / 5) * np.cos(xx / 7)
+    img = base[..., None] + rng.integers(-40, 40, (h, w, 1))
+    return np.clip(img, 0, 255).astype(np.uint8).repeat(3, axis=2)
+
+
+@pytest.mark.parametrize(
+    "hw,sub", [((16, 16), False), ((24, 40), False), ((33, 47), True),
+               ((64, 64), True)]
+)
+def test_progressive_equals_baseline_decode(hw, sub):
+    """The progressive encoder carries the same quantized coefficients
+    as the baseline encoder, so after full successive approximation
+    the two streams must decode PIXEL-IDENTICALLY — this gates the
+    spectral-selection bands, EOB-run coding, and the two-level
+    Al=2→1→0 refinement chain on luma in one equality."""
+    from nifi_processors_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_progressive_jpeg,
+    )
+
+    img = _textured(*hw, seed=hw[0])
+    for q in (50, 90):
+        b = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        p = decode_jpeg(encode_progressive_jpeg(img, quality=q, subsample=sub))
+        assert np.array_equal(b, p), (hw, sub, q)
+
+
+def test_progressive_grayscale_noninterleaved_dc():
+    """Single-component frames make every scan non-interleaved,
+    including DC — the per-component raster walk the stripe fixtures
+    also exercise."""
+    from nifi_processors_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    b = decode_jpeg(encode_jpeg(img, quality=85))
+    p = decode_jpeg(encode_progressive_jpeg(img, quality=85))
+    assert np.array_equal(b, p)
+
+
+def test_progressive_real_world_files_when_present():
+    """Real progressive streams from independent encoders: f3.jpg
+    (2x1-sampled photo, 10-scan script with an Al=2→1 AC chain) and
+    the nodejs stripes (per-component DC scans, spectral bands).
+    Decoded stats are asserted against their known content."""
+    from nifi_processors_spark.operators.jpeg import decode_jpeg
+
+    f3 = ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+          "share/doc/rust/html/embedded-book/assets/f3.jpg")
+    stripe = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    checked = 0
+    if os.path.exists(f3):
+        img = decode_jpeg(open(f3, "rb").read())
+        assert img.shape == (477, 720, 3)
+        assert 40 < img.mean() < 160  # a photo, neither black nor blown out
+        checked += 1
+    if os.path.exists(stripe):
+        img = decode_jpeg(open(stripe, "rb").read())
+        assert img.shape == (312, 493, 3)
+        assert img.mean() > 235  # mostly-white asset
+        checked += 1
+    if not checked:
+        pytest.skip("no real-world progressive JPEG on this host")
