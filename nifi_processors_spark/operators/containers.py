@@ -1,0 +1,360 @@
+"""MP4 (ISO BMFF) and AVI (RIFF) container demux for MJPEG video.
+
+Closes the compressed-video-container boundary for the one codec
+chain this engine can decode end-to-end without ffmpeg: Motion-JPEG
+samples in either container, fed frame-by-frame to the pure-numpy
+JPEG codec (``operators/jpeg.py`` — baseline AND progressive). The
+container layer itself is lossless byte bookkeeping, so demux is
+gated on EXACT equality: the sample bytes coming out must equal the
+sample bytes muxed in.
+
+Scope (honest, enforced):
+
+* **MP4**: top-level/nested box walking (32- and 64-bit sizes),
+  ``moov → trak → mdia`` traversal picking the first ``vide``
+  handler track, and the full sample-table resolution —
+  ``stsd`` (fourcc), ``stts`` (decode timestamps), ``stsc``
+  (chunk → samples-per-chunk runs), ``stsz`` (sizes), ``stco``/
+  ``co64`` (chunk offsets) — into per-sample (ts_ms, bytes).
+  ``jpeg``/``mjpg``/``MJPG`` sample entries decode; ``avc1``/
+  ``hvc1``/``hev1``/``vp09``/``av01`` raise ``NotImplementedError``
+  (H.264/HEVC/VP9/AV1 entropy decoding is out of scope, stated).
+* **AVI**: RIFF chunk walking, ``strh`` (vids stream: rate/scale →
+  fps), ``movi`` list with ``NNdc``/``NNdb`` frame chunks (even-byte
+  padding honored). Non-MJPEG ``strh`` handlers raise.
+* **Muxers** (`mux_mp4_mjpeg`, `mux_avi_mjpeg`) emit minimal
+  spec-valid files — one video track, one chunk (MP4) / one movi
+  list (AVI) — used by the round-trip gates and the synthetic media
+  corpus. They are independent code paths from the demuxers (box
+  building vs box walking), so a demux bug cannot cancel.
+
+Like JPEG itself, container-decoded frames are lossy downstream of
+the demux and therefore stay OUT of the integer-exact media oracle;
+the gates live in pytest.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------------ MP4 mux
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _fullbox(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def mux_mp4_mjpeg(
+    samples: list[bytes], fps: int, width: int, height: int
+) -> bytes:
+    """JPEG frame bytes → minimal ISO BMFF: ``ftyp`` + ``mdat`` with
+    the samples concatenated + ``moov`` whose sample table addresses
+    them as one chunk of uniform-duration ``jpeg`` samples at
+    ``timescale=fps, delta=1``."""
+    n = len(samples)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_payload = b"".join(samples)
+    mdat = _box(b"mdat", mdat_payload)
+    first_sample_off = len(ftyp) + 8  # mdat header precedes sample 0
+
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n)          # ctime mtime timescale dur
+        + struct.pack(">IH", 0x00010000, 0x0100)    # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),                     # next track id
+    )
+    tkhd = _fullbox(
+        b"tkhd", 0, 3,
+        struct.pack(">IIIII", 0, 0, 1, 0, n)        # ctime mtime id rsvd dur
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)          # layer group volume rsvd
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"MJPEG\x00",
+    )
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + data_ref_idx
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)                      # frames per sample
+        + b"\x00" * 32                              # compressor name
+        + struct.pack(">Hh", 24, -1),               # depth, pre_defined
+    )
+    stsd = _fullbox(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1) + _box(b"jpeg", b"".join(entry)),
+    )
+    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _fullbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _fullbox(b"stco", 0, 0, struct.pack(">II", 1, first_sample_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _fullbox(
+        b"dref", 0, 0, struct.pack(">I", 1) + _fullbox(b"url ", 0, 1, b"")
+    )
+    dinf = _box(b"dinf", dref)
+    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------- MP4 demux
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for the boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        tag = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad MP4 box size {size} at {pos}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _find(buf, start, end, tag):
+    for t, b, e in _walk_boxes(buf, start, end):
+        if t == tag:
+            return b, e
+    return None
+
+
+def demux_mp4(payload: bytes) -> dict:
+    """ISO BMFF bytes → the first video track's samples:
+    ``{"fourcc": str, "timescale": int, "samples": [(ts_ms, bytes)]}``.
+    Resolves the full stbl chain (stts/stsc/stsz/stco|co64)."""
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (missing ftyp)")
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    for tag, tb, te in _walk_boxes(payload, *moov):
+        if tag != b"trak":
+            continue
+        mdia = _find(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find(payload, *mdia, b"mdhd")
+        version = payload[mdhd[0]]
+        timescale = int.from_bytes(
+            payload[mdhd[0] + (20 if version else 12) :][:4], "big"
+        )
+        minf = _find(payload, *mdia, b"minf")
+        stbl = _find(payload, *minf, b"stbl")
+        tables = {}
+        for t, b, e in _walk_boxes(payload, *stbl):
+            tables[t] = (b, e)
+        sb, _se = tables[b"stsd"]
+        fourcc = payload[sb + 12 : sb + 16].decode("latin1")
+        # stts → per-sample decode-time deltas
+        sb, _se = tables[b"stts"]
+        n_ent = int.from_bytes(payload[sb + 4 : sb + 8], "big")
+        deltas = []
+        for i in range(n_ent):
+            cnt, dur = struct.unpack_from(">II", payload, sb + 8 + 8 * i)
+            deltas.extend([dur] * cnt)
+        # stsz → sizes
+        sb, _se = tables[b"stsz"]
+        fixed, n_samp = struct.unpack_from(">II", payload, sb + 4)
+        if fixed:
+            sizes = [fixed] * n_samp
+        else:
+            sizes = list(
+                struct.unpack_from(f">{n_samp}I", payload, sb + 12)
+            )
+        # stco / co64 → chunk offsets
+        if b"stco" in tables:
+            sb, _se = tables[b"stco"]
+            n_ch = int.from_bytes(payload[sb + 4 : sb + 8], "big")
+            offsets = list(struct.unpack_from(f">{n_ch}I", payload, sb + 8))
+        else:
+            sb, _se = tables[b"co64"]
+            n_ch = int.from_bytes(payload[sb + 4 : sb + 8], "big")
+            offsets = list(struct.unpack_from(f">{n_ch}Q", payload, sb + 8))
+        # stsc → samples-per-chunk runs (first_chunk is 1-based; each
+        # run holds until the next run's first_chunk)
+        sb, _se = tables[b"stsc"]
+        n_ent = int.from_bytes(payload[sb + 4 : sb + 8], "big")
+        runs = [
+            struct.unpack_from(">III", payload, sb + 8 + 12 * i)[:2]
+            for i in range(n_ent)
+        ]
+        spc_per_chunk = []
+        for i, (first, spc) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(offsets)
+            spc_per_chunk.extend([spc] * (last - first + 1))
+        samples = []
+        t = 0
+        si = 0
+        for ci, chunk_off in enumerate(offsets):
+            off = chunk_off
+            for _ in range(spc_per_chunk[ci]):
+                if si >= n_samp:
+                    break
+                size = sizes[si]
+                ts_ms = round(t * 1000 / timescale)
+                samples.append((ts_ms, payload[off : off + size]))
+                off += size
+                t += deltas[si] if si < len(deltas) else deltas[-1]
+                si += 1
+        return {"fourcc": fourcc, "timescale": timescale, "samples": samples}
+    raise ValueError("MP4 has no video track")
+
+
+_MJPEG_FOURCCS = {"jpeg", "mjpg", "MJPG", "AVDJ", "dmb1"}
+_KNOWN_CODED = {"avc1", "avc3", "hvc1", "hev1", "vp09", "av01", "mp4v"}
+
+
+def decode_mp4_frames(payload: bytes):
+    """MP4 bytes → ((n, h, w, 3) uint8 RGB frames, [ts_ms]). Only
+    Motion-JPEG sample entries decode; H.264/HEVC/VP9/AV1 tracks are
+    an explicit boundary."""
+    from .jpeg import decode_jpeg
+
+    track = demux_mp4(payload)
+    if track["fourcc"] not in _MJPEG_FOURCCS:
+        if track["fourcc"] in _KNOWN_CODED:
+            raise NotImplementedError(
+                f"{track['fourcc']} entropy decoding requires ffmpeg — only "
+                "Motion-JPEG MP4 tracks decode here"
+            )
+        raise ValueError(f"unknown MP4 sample entry {track['fourcc']!r}")
+    frames = [decode_jpeg(s) for _ts, s in track["samples"]]
+    return np.stack(frames), [ts for ts, _s in track["samples"]]
+
+
+# ------------------------------------------------------------------ AVI mux
+
+def _riff_chunk(tag: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""  # RIFF chunks word-align
+    return tag + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(tag: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", tag + payload)
+
+
+def mux_avi_mjpeg(
+    samples: list[bytes], fps: int, width: int, height: int
+) -> bytes:
+    """JPEG frame bytes → minimal RIFF AVI: hdrl (avih + one MJPG vids
+    strl) + movi with one ``00dc`` chunk per frame."""
+    n = len(samples)
+    maxs = max((len(s) for s in samples), default=0)
+    avih = _riff_chunk(
+        b"avih",
+        struct.pack(
+            "<14I", 1_000_000 // fps, maxs * fps, 0, 0x10, n, 0, 1, maxs,
+            width, height, 0, 0, 0, 0,
+        ),
+    )
+    strh = _riff_chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, maxs,
+                      0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                    width * height * 3, 0, 0, 0, 0),
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", s) for s in samples)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------- AVI demux
+
+def _walk_riff(buf: bytes, start: int, end: int):
+    """Yield (tag, list_type_or_None, body_start, body_end)."""
+    pos = start
+    while pos + 8 <= end:
+        tag = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body, bend = pos + 8, pos + 8 + size
+        if bend > end:
+            raise ValueError(f"bad RIFF chunk size {size} at {pos}")
+        if tag in (b"LIST", b"RIFF"):
+            yield tag, buf[body : body + 4], body + 4, bend
+        else:
+            yield tag, None, body, bend
+        pos = bend + (size % 2)  # word alignment
+
+
+def demux_avi(payload: bytes) -> dict:
+    """RIFF AVI bytes → ``{"fps": float, "samples": [bytes]}`` from
+    the first MJPG vids stream's ``NNdc``/``NNdb`` movi chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI file")
+    fps = None
+    samples = []
+
+    def walk(start, end):
+        nonlocal fps
+        for tag, ltype, b, e in _walk_riff(payload, start, end):
+            if tag in (b"LIST", b"RIFF"):
+                walk(b, e)
+            elif tag == b"strh" and payload[b : b + 4] == b"vids":
+                handler = payload[b + 4 : b + 8]
+                if handler not in (b"MJPG", b"mjpg", b"jpeg", b"\x00\x00\x00\x00"):
+                    raise NotImplementedError(
+                        f"AVI codec {handler!r} requires ffmpeg — only "
+                        "Motion-JPEG streams decode here"
+                    )
+                scale, rate = struct.unpack_from("<II", payload, b + 20)
+                fps = rate / scale if scale else 0.0
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                samples.append(payload[b:e])
+
+    walk(12, len(payload))
+    if fps is None:
+        raise ValueError("AVI has no vids stream header")
+    return {"fps": fps, "samples": samples}
+
+
+def decode_avi_frames(payload: bytes):
+    """AVI bytes → ((n, h, w, 3) uint8 RGB frames, [ts_ms])."""
+    from .jpeg import decode_jpeg
+
+    track = demux_avi(payload)
+    frames = [decode_jpeg(s) for s in track["samples"]]
+    ts = [round(i * 1000 / track["fps"]) for i in range(len(frames))]
+    return np.stack(frames), ts

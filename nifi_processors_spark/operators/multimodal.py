@@ -16,8 +16,10 @@ in ``operators/jpeg.py`` — both baseline sequential (SOF0) and
 progressive (SOF2: spectral selection, successive approximation, EOB
 runs). Lossless codecs are oracle-gated (``media_decode_features``,
 integer-exact); JPEG is lossy and therefore pytest-gated on bounded
-error. Remaining honest boundaries: arithmetic-coded JPEG and
-compressed video containers (MP4 needs ffmpeg) — those raise
+error. Motion-JPEG MP4/AVI containers demux natively
+(``operators/containers.py``) with frames fed to the JPEG codec.
+Remaining honest boundaries: arithmetic-coded JPEG and entropy-coded
+video (H.264/HEVC/VP9/AV1 need ffmpeg) — those raise
 ``NotImplementedError`` unless ``fake=True`` (the deterministic fake
 used by plumbing tests).
 
@@ -573,10 +575,12 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (row → N frame
     rows via mapInPandas). YUV4MPEG2 payloads decode FOR REAL (pure
-    byte-parsing, decode_y4m): the sampled frame's raw Y plane is the
-    ``frame`` payload and timestamps come from the stream's own frame
-    rate. Compressed containers (MP4 etc.) still need ffmpeg — those
-    payloads raise unless ``fake=True``."""
+    byte-parsing, decode_y4m), as do Motion-JPEG MP4 and AVI
+    containers (``operators/containers.py`` demux + the pure-numpy
+    JPEG codec): the sampled frame's raw Y plane is the ``frame``
+    payload and timestamps come from the stream's own timing tables.
+    Entropy-coded codecs (H.264/HEVC/VP9/AV1) still need ffmpeg —
+    those payloads raise unless ``fake=True``."""
 
     cols = [f.name for f in FRAME_SAMPLE_SCHEMA.fields]
 
@@ -609,11 +613,60 @@ def sample_video_frames(
                             )
                             k += 1
                         continue
+                    is_mp4 = payload[4:8] == b"ftyp"
+                    is_avi = (
+                        payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+                    )
+                    if is_mp4 or is_avi:
+                        from .containers import (
+                            decode_avi_frames, decode_mp4_frames,
+                        )
+
+                        frames, all_ts = (
+                            decode_mp4_frames(payload)
+                            if is_mp4
+                            else decode_avi_frames(payload)
+                        )
+                        luma = np.clip(
+                            np.round(
+                                0.299 * frames[..., 0]
+                                + 0.587 * frames[..., 1]
+                                + 0.114 * frames[..., 2]
+                            ),
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                        step = (
+                            all_ts[1] - all_ts[0] if len(all_ts) > 1 else 1000
+                        )
+                        k = 0
+                        while k < max_frames:
+                            ts = k * every_ms
+                            if ts >= all_ts[-1] + step:
+                                break  # past end of stream
+                            idx = max(
+                                0,
+                                int(
+                                    np.searchsorted(all_ts, ts, side="right")
+                                )
+                                - 1,
+                            )
+                            rows.append(
+                                {
+                                    "media_id": mid,
+                                    "frame_idx": idx,
+                                    "frame_ts_ms": ts,
+                                    "frame": luma[idx].tobytes(),
+                                    "error_reason": None,
+                                }
+                            )
+                            k += 1
+                        continue
                     if not fake:
                         raise NotImplementedError(
-                            "compressed video decode requires ffmpeg — not "
-                            "in this container; use y4m payloads or "
-                            "fake=True"
+                            "entropy-coded video (H.264/HEVC/...) requires "
+                            "ffmpeg; y4m and Motion-JPEG MP4/AVI decode "
+                            "natively — or use fake=True"
                         )
                     n = min(max_frames, max(int((dur or 0) // every_ms), 0))
                     for i in range(n):
@@ -797,9 +850,32 @@ def media_stats(media: DataFrame) -> DataFrame:
                             "sum_val": int(s.astype(np.int64).sum()),
                         }
                     elif kind == "video":
-                        # real y4m decode; stats cover the luma (Y)
-                        # plane across all frames
-                        y, _u, _v, _fps = decode_y4m(payload)
+                        # real decode; stats cover the luma (Y) plane
+                        # across all frames. y4m carries Y directly;
+                        # MJPEG MP4/AVI demux + JPEG-decode per frame
+                        # (lossy codecs never enter the oracle corpus,
+                        # so the integer gate is unaffected)
+                        if payload[:9] == b"YUV4MPEG2":
+                            y, _u, _v, _fps = decode_y4m(payload)
+                        else:
+                            from .containers import (
+                                decode_avi_frames, decode_mp4_frames,
+                            )
+
+                            frames, _ts = (
+                                decode_mp4_frames(payload)
+                                if payload[4:8] == b"ftyp"
+                                else decode_avi_frames(payload)
+                            )
+                            y = np.clip(
+                                np.round(
+                                    0.299 * frames[..., 0]
+                                    + 0.587 * frames[..., 1]
+                                    + 0.114 * frames[..., 2]
+                                ),
+                                0,
+                                255,
+                            ).astype(np.uint8)
                         rec = {
                             "width": y.shape[2],
                             "height": y.shape[1],

@@ -693,3 +693,149 @@ def test_progressive_real_world_files_when_present():
         checked += 1
     if not checked:
         pytest.skip("no real-world progressive JPEG on this host")
+
+
+# ---------------------------------------------------------------------------
+# MP4 / AVI container demux (Motion-JPEG)
+# ---------------------------------------------------------------------------
+
+def _mjpeg_frames(n=5, h=24, w=32, seed=3):
+    rng = np.random.default_rng(seed)
+    yy = np.mgrid[0:h, 0:w][0]
+    return [
+        np.clip(
+            128 + 60 * np.sin(yy / 3 + i)[..., None]
+            + rng.integers(-20, 20, (h, w, 1)),
+            0, 255,
+        ).astype(np.uint8).repeat(3, axis=2)
+        for i in range(n)
+    ]
+
+
+def test_mp4_demux_is_byte_exact():
+    """The container layer is lossless bookkeeping: demuxed sample
+    bytes must EQUAL the muxed-in JPEG bytes, and the stts/stsc/stsz/
+    stco chain must yield the right timestamps."""
+    from nifi_processors_spark.operators.containers import (
+        demux_mp4, mux_mp4_mjpeg,
+    )
+    from nifi_processors_spark.operators.jpeg import encode_jpeg
+
+    jpegs = [encode_jpeg(f, quality=90) for f in _mjpeg_frames()]
+    track = demux_mp4(mux_mp4_mjpeg(jpegs, fps=4, width=32, height=24))
+    assert track["fourcc"] == "jpeg"
+    assert [s for _ts, s in track["samples"]] == jpegs
+    assert [ts for ts, _s in track["samples"]] == [0, 250, 500, 750, 1000]
+
+
+def test_avi_demux_is_byte_exact():
+    from nifi_processors_spark.operators.containers import (
+        demux_avi, mux_avi_mjpeg,
+    )
+    from nifi_processors_spark.operators.jpeg import encode_jpeg
+
+    # odd-length JPEGs exercise RIFF word-alignment padding
+    jpegs = [encode_jpeg(f, quality=85) for f in _mjpeg_frames(4)]
+    track = demux_avi(mux_avi_mjpeg(jpegs, fps=8, width=32, height=24))
+    assert track["fps"] == 8.0
+    assert track["samples"] == jpegs
+
+
+def test_container_frames_decode_identically():
+    """Frames pulled through either container must decode EXACTLY as
+    the bare JPEG bytes do — no container-induced drift."""
+    from nifi_processors_spark.operators.containers import (
+        decode_avi_frames, decode_mp4_frames, mux_avi_mjpeg, mux_mp4_mjpeg,
+    )
+    from nifi_processors_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    jpegs = [encode_jpeg(f, quality=90, subsample=True)
+             for f in _mjpeg_frames()]
+    ref = np.stack([decode_jpeg(j) for j in jpegs])
+    fr, _ = decode_mp4_frames(mux_mp4_mjpeg(jpegs, 4, 32, 24))
+    assert np.array_equal(fr, ref)
+    fr, _ = decode_avi_frames(mux_avi_mjpeg(jpegs, 4, 32, 24))
+    assert np.array_equal(fr, ref)
+
+
+def test_container_codec_boundary_is_loud():
+    from nifi_processors_spark.operators.containers import (
+        decode_mp4_frames, mux_mp4_mjpeg,
+    )
+
+    mp4 = bytearray(mux_mp4_mjpeg([b"\xff\xd8fake\xff\xd9"], 4, 8, 8))
+    idx = mp4.find(b"jpeg", mp4.find(b"stsd"))
+    mp4[idx : idx + 4] = b"avc1"  # pretend it's H.264
+    with pytest.raises(NotImplementedError):
+        decode_mp4_frames(bytes(mp4))
+
+
+def test_sample_video_frames_reads_mjpeg_containers(spark):
+    """Spark-side: container payloads flow through sample_video_frames
+    next to y4m, emitting per-frame luma rows; an entropy-coded track
+    quarantines via error_reason instead of aborting the batch."""
+    from nifi_processors_spark.operators.containers import (
+        mux_avi_mjpeg, mux_mp4_mjpeg,
+    )
+    from nifi_processors_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    frames = _mjpeg_frames(5)
+    jpegs = [encode_jpeg(f, quality=90) for f in frames]
+    mp4 = mux_mp4_mjpeg(jpegs, fps=4, width=32, height=24)
+    avi = mux_avi_mjpeg(jpegs, fps=4, width=32, height=24)
+    bad = bytearray(mp4)
+    i = bad.find(b"jpeg", bad.find(b"stsd"))
+    bad[i : i + 4] = b"avc1"
+    media = spark.createDataFrame(
+        [
+            (1, "video", mp4, "video/mp4", 32, 24, 1250),
+            (2, "video", avi, "video/x-msvideo", 32, 24, 1250),
+            (3, "video", bytes(bad), "video/mp4", 32, 24, 1250),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = sample_video_frames(media, every_ms=500, max_frames=8).toPandas()
+    ok = out[out.error_reason.isna()]
+    bad_rows = out[out.error_reason.notna()]
+    assert set(bad_rows.media_id) == {3}
+    assert "avc1" in bad_rows.error_reason.iloc[0]
+    # 1250 ms of 4 fps video sampled at 500 ms → ts 0/500/1000 each
+    for mid in (1, 2):
+        sub = ok[ok.media_id == mid]
+        assert list(sub.frame_ts_ms) == [0, 500, 1000]
+        assert list(sub.frame_idx) == [0, 2, 4]
+        # frame payload is the decoded frame's luma plane, exactly
+        want = decode_jpeg(jpegs[2])
+        luma = np.clip(
+            np.round(
+                0.299 * want[..., 0] + 0.587 * want[..., 1]
+                + 0.114 * want[..., 2]
+            ),
+            0, 255,
+        ).astype(np.uint8)
+        got = np.frombuffer(
+            sub[sub.frame_idx == 2].frame.iloc[0], dtype=np.uint8
+        ).reshape(24, 32)
+        assert np.array_equal(got, luma)
+
+
+def test_media_stats_covers_mjpeg_containers(spark):
+    from nifi_processors_spark.operators.containers import mux_mp4_mjpeg
+    from nifi_processors_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    jpegs = [encode_jpeg(f, quality=90) for f in _mjpeg_frames(3)]
+    mp4 = mux_mp4_mjpeg(jpegs, fps=4, width=32, height=24)
+    media = spark.createDataFrame(
+        [(1, "video", mp4, "video/mp4", 32, 24, 750)], MEDIA_SCHEMA
+    )
+    row = media_stats(media).toPandas().iloc[0]
+    assert row.error_reason is None
+    assert (row.width, row.height) == (32, 24)
+    dec = np.stack([decode_jpeg(j) for j in jpegs])
+    luma = np.clip(
+        np.round(0.299 * dec[..., 0] + 0.587 * dec[..., 1]
+                 + 0.114 * dec[..., 2]),
+        0, 255,
+    ).astype(np.int64)
+    assert row.n_units == luma.size
+    assert row.sum_val == luma.sum()
