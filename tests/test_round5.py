@@ -839,3 +839,22 @@ def test_media_stats_covers_mjpeg_containers(spark):
     ).astype(np.int64)
     assert row.n_units == luma.size
     assert row.sum_val == luma.sum()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_adam7_sub8_depths(depth):
+    """Interlace composed with sub-8-bit packing: every Adam7 pass has
+    its own row-end bit padding (odd pass widths), which straight-line
+    decode never exercises."""
+    from nifi_processors_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(40 + depth)
+    ncol = 1 << depth
+    palette = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, (11, 9, 1), dtype=np.uint8)
+    out = decode_png(_ref_png(idx, depth, 3, interlace=1, palette=palette))
+    assert np.array_equal(out, palette[idx[:, :, 0]])
+    g = rng.integers(0, ncol, (9, 13, 1), dtype=np.uint8)
+    out = decode_png(_ref_png(g, depth, 0, interlace=1))
+    scale = 255 // (ncol - 1)
+    assert np.array_equal(out, np.repeat(g * scale, 3, axis=2))
