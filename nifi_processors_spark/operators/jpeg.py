@@ -127,6 +127,10 @@ class _BitReader:
         self._n = 0
 
     def _fill(self) -> None:
+        # drop already-consumed high bits FIRST: without this the
+        # accumulator grows with the whole stream and every shift
+        # degrades to O(stream length) big-int work
+        self._acc &= (1 << self._n) - 1
         while self._n <= 24:
             if self.pos >= len(self.data):
                 self._acc = (self._acc << 8) | 0
@@ -150,10 +154,23 @@ class _BitReader:
     def read(self, length: int) -> int:
         if length == 0:
             return 0
-        self._fill()
+        n = self._n
+        if n < length:
+            self._fill()
+            n = self._n
+        n -= length
+        self._n = n
+        return (self._acc >> n) & ((1 << length) - 1)
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (zero-padded past the end) —
+        the fast path for LUT Huffman decode."""
+        if self._n < 16:
+            self._fill()
+        return (self._acc >> (self._n - 16)) & 0xFFFF
+
+    def skip(self, length: int) -> None:
         self._n -= length
-        v = (self._acc >> self._n) & ((1 << length) - 1)
-        return v
 
     def restart(self) -> None:
         """Consume an RSTn marker: discard the current byte's padding
@@ -180,6 +197,7 @@ class _HuffTable:
         self.values = values
         self.enc: dict[int, tuple[int, int]] = {}
         self.dec: dict[tuple[int, int], int] = {}
+        self.lut = None  # 16-bit-prefix decode LUT, built on first use
         code = 0
         k = 0
         for length in range(1, 17):
@@ -192,13 +210,26 @@ class _HuffTable:
             code <<= 1
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read(1)
-            sym = self.dec.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy stream")
+        # 16-bit-prefix LUT (built lazily): one peek + one list index
+        # per symbol instead of up to 16 single-bit reads — the hot
+        # path of every scan, ~10× on multi-scan progressive streams
+        lut = self.lut
+        if lut is None:
+            lut = self.lut = self._build_lut()
+        ent = lut[br.peek16()]
+        if ent is None:
+            raise ValueError("invalid Huffman code in entropy stream")
+        br.skip(ent & 0x1F)
+        return ent >> 5
+
+    def _build_lut(self):
+        lut = [None] * 65536
+        for (length, code), sym in self.dec.items():
+            packed = (sym << 5) | length
+            base = code << (16 - length)
+            for i in range(1 << (16 - length)):
+                lut[base + i] = packed
+        return lut
 
 
 def _flat_dc_table() -> _HuffTable:
@@ -332,41 +363,48 @@ def _prog_ac_refine_block(br, zzc, b, ac_t, Ss, Se, Al, eobrun) -> int:
     visited consumes one correction bit; EOB runs append correction
     bits for the remainder of each covered block."""
     p1, m1 = 1 << Al, -(1 << Al)
-    k = Ss
+    if eobrun > 0 and not zzc[b, Ss : Se + 1].any():
+        return eobrun - 1  # all-zero history: no correction bits ride
+    # hot loop works on a Python list (numpy scalar indexing is ~10×
+    # slower per element), written back once
+    band = zzc[b, Ss : Se + 1].tolist()
+    n = len(band)
+    read = br.read
+    j = 0
     if eobrun == 0:
-        while k <= Se:
+        while j < n:
             rs = ac_t.decode(br)
             run, size = rs >> 4, rs & 0x0F
             if size == 0:
                 if run != 15:
-                    eobrun = (1 << run) + (br.read(run) if run else 0)
+                    eobrun = (1 << run) + (read(run) if run else 0)
                     break
                 val = 0  # ZRL: skip 16 zero-history positions
             else:
                 if size != 1:
                     raise ValueError("refinement magnitude must be 1")
-                val = p1 if br.read(1) else m1
-            while k <= Se:
-                cur = int(zzc[b, k])
+                val = p1 if read(1) else m1
+            while j < n:
+                cur = band[j]
                 if cur != 0:
-                    if br.read(1) and (cur & p1) == 0:
-                        zzc[b, k] = cur + (p1 if cur >= 0 else m1)
+                    if read(1) and (cur & p1) == 0:
+                        band[j] = cur + (p1 if cur >= 0 else m1)
                 else:
                     if run == 0:
                         break
                     run -= 1
-                k += 1
-            if val and k <= Se:
-                zzc[b, k] = val
-            k += 1
+                j += 1
+            if val and j < n:
+                band[j] = val
+            j += 1
     if eobrun > 0:
-        while k <= Se:  # correction bits through end of band
-            cur = int(zzc[b, k])
-            if cur != 0:
-                if br.read(1) and (cur & p1) == 0:
-                    zzc[b, k] = cur + (p1 if cur >= 0 else m1)
-            k += 1
+        while j < n:  # correction bits through end of band
+            cur = band[j]
+            if cur != 0 and read(1) and (cur & p1) == 0:
+                band[j] = cur + (p1 if cur >= 0 else m1)
+            j += 1
         eobrun -= 1
+    zzc[b, Ss : Se + 1] = band
     return eobrun
 
 
