@@ -168,26 +168,40 @@ def demux_mp4(payload: bytes) -> dict:
         if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
         mdhd = _find(payload, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("MP4 video track missing mdhd")
         version = payload[mdhd[0]]
         timescale = int.from_bytes(
             payload[mdhd[0] + (20 if version else 12) :][:4], "big"
         )
+        if not timescale:
+            raise ValueError("MP4 video track has zero timescale")
         minf = _find(payload, *mdia, b"minf")
+        if minf is None:
+            raise ValueError("MP4 video track missing minf")
         stbl = _find(payload, *minf, b"stbl")
+        if stbl is None:
+            raise ValueError("MP4 video track missing stbl")
         tables = {}
         for t, b, e in _walk_boxes(payload, *stbl):
             tables[t] = (b, e)
-        sb, _se = tables[b"stsd"]
+
+        def _need(tag):
+            if tag not in tables:
+                raise ValueError(f"MP4 stbl missing {tag.decode()}")
+            return tables[tag]
+
+        sb, _se = _need(b"stsd")
         fourcc = payload[sb + 12 : sb + 16].decode("latin1")
         # stts → per-sample decode-time deltas
-        sb, _se = tables[b"stts"]
+        sb, _se = _need(b"stts")
         n_ent = int.from_bytes(payload[sb + 4 : sb + 8], "big")
         deltas = []
         for i in range(n_ent):
             cnt, dur = struct.unpack_from(">II", payload, sb + 8 + 8 * i)
             deltas.extend([dur] * cnt)
         # stsz → sizes
-        sb, _se = tables[b"stsz"]
+        sb, _se = _need(b"stsz")
         fixed, n_samp = struct.unpack_from(">II", payload, sb + 4)
         if fixed:
             sizes = [fixed] * n_samp
@@ -201,12 +215,12 @@ def demux_mp4(payload: bytes) -> dict:
             n_ch = int.from_bytes(payload[sb + 4 : sb + 8], "big")
             offsets = list(struct.unpack_from(f">{n_ch}I", payload, sb + 8))
         else:
-            sb, _se = tables[b"co64"]
+            sb, _se = _need(b"co64")
             n_ch = int.from_bytes(payload[sb + 4 : sb + 8], "big")
             offsets = list(struct.unpack_from(f">{n_ch}Q", payload, sb + 8))
         # stsc → samples-per-chunk runs (first_chunk is 1-based; each
         # run holds until the next run's first_chunk)
-        sb, _se = tables[b"stsc"]
+        sb, _se = _need(b"stsc")
         n_ent = int.from_bytes(payload[sb + 4 : sb + 8], "big")
         runs = [
             struct.unpack_from(">III", payload, sb + 8 + 12 * i)[:2]
@@ -230,12 +244,68 @@ def demux_mp4(payload: bytes) -> dict:
                 off += size
                 t += deltas[si] if si < len(deltas) else deltas[-1]
                 si += 1
-        return {"fourcc": fourcc, "timescale": timescale, "samples": samples}
+        return {
+            "fourcc": fourcc,
+            "timescale": timescale,
+            "samples": samples,
+            # t has accumulated every consumed sample's stts delta, so
+            # it IS the stream duration in time-units at this point
+            "duration_ms": t * 1000.0 / timescale,
+        }
     raise ValueError("MP4 has no video track")
 
 
 _MJPEG_FOURCCS = {"jpeg", "mjpg", "MJPG", "AVDJ", "dmb1"}
 _KNOWN_CODED = {"avc1", "avc3", "hvc1", "hev1", "vp09", "av01", "mp4v"}
+
+
+def _require_mjpeg_fourcc(fourcc: str) -> None:
+    if fourcc in _MJPEG_FOURCCS:
+        return
+    if fourcc in _KNOWN_CODED:
+        raise NotImplementedError(
+            f"{fourcc} entropy decoding requires ffmpeg — only "
+            "Motion-JPEG MP4 tracks decode here"
+        )
+    raise ValueError(f"unknown MP4 sample entry {fourcc!r}")
+
+
+def rgb_to_luma(frames: np.ndarray) -> np.ndarray:
+    """Rec.601 integer luma of a (..., 3) uint8 RGB array — the ONE
+    definition shared by the frame sampler and media_stats so their
+    bytes can never diverge."""
+    return np.clip(
+        np.round(
+            0.299 * frames[..., 0]
+            + 0.587 * frames[..., 1]
+            + 0.114 * frames[..., 2]
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+
+
+def demux_mjpeg_container(payload: bytes) -> dict:
+    """MP4 or AVI bytes → ``{"samples": [bytes], "ts_ms": [int],
+    "duration_ms": float}`` for the first Motion-JPEG video stream,
+    WITHOUT decoding any sample — callers that subsample frames pick
+    their indices from ``ts_ms`` and JPEG-decode only those."""
+    if payload[4:8] == b"ftyp":
+        track = demux_mp4(payload)
+        _require_mjpeg_fourcc(track["fourcc"])
+        return {
+            "samples": [s for _ts, s in track["samples"]],
+            "ts_ms": [ts for ts, _s in track["samples"]],
+            "duration_ms": track["duration_ms"],
+        }
+    track = demux_avi(payload)
+    n = len(track["samples"])
+    fps = track["fps"]
+    return {
+        "samples": track["samples"],
+        "ts_ms": [round(i * 1000 / fps) for i in range(n)],
+        "duration_ms": n * 1000.0 / fps,
+    }
 
 
 def decode_mp4_frames(payload: bytes):
@@ -245,13 +315,9 @@ def decode_mp4_frames(payload: bytes):
     from .jpeg import decode_jpeg
 
     track = demux_mp4(payload)
-    if track["fourcc"] not in _MJPEG_FOURCCS:
-        if track["fourcc"] in _KNOWN_CODED:
-            raise NotImplementedError(
-                f"{track['fourcc']} entropy decoding requires ffmpeg — only "
-                "Motion-JPEG MP4 tracks decode here"
-            )
-        raise ValueError(f"unknown MP4 sample entry {track['fourcc']!r}")
+    _require_mjpeg_fourcc(track["fourcc"])
+    if not track["samples"]:
+        raise ValueError("MP4 video track has no samples")
     frames = [decode_jpeg(s) for _ts, s in track["samples"]]
     return np.stack(frames), [ts for ts, _s in track["samples"]]
 
@@ -321,33 +387,47 @@ def _walk_riff(buf: bytes, start: int, end: int):
 
 def demux_avi(payload: bytes) -> dict:
     """RIFF AVI bytes → ``{"fps": float, "samples": [bytes]}`` from
-    the first MJPG vids stream's ``NNdc``/``NNdb`` movi chunks."""
+    the FIRST vids stream's ``NNdc``/``NNdb`` movi chunks. AVI movi
+    chunk tags carry the stream number (``00dc`` = stream 0), and
+    stream N is the Nth ``strh`` in file order counting ALL streams
+    (audio included) — so chunks belonging to other streams are
+    filtered out rather than interleaved in, and a second vids strh
+    cannot overwrite the first stream's timing."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF AVI file")
-    fps = None
-    samples = []
+    stream_idx = -1  # counts every strh (any type) in file order
+    vids = None  # (stream_idx, handler, scale, rate) of FIRST vids
+    chunks = []  # (stream_no, bytes)
 
     def walk(start, end):
-        nonlocal fps
-        for tag, ltype, b, e in _walk_riff(payload, start, end):
+        nonlocal stream_idx, vids
+        for tag, _ltype, b, e in _walk_riff(payload, start, end):
             if tag in (b"LIST", b"RIFF"):
                 walk(b, e)
-            elif tag == b"strh" and payload[b : b + 4] == b"vids":
-                handler = payload[b + 4 : b + 8]
-                if handler not in (b"MJPG", b"mjpg", b"jpeg", b"\x00\x00\x00\x00"):
-                    raise NotImplementedError(
-                        f"AVI codec {handler!r} requires ffmpeg — only "
-                        "Motion-JPEG streams decode here"
-                    )
-                scale, rate = struct.unpack_from("<II", payload, b + 20)
-                fps = rate / scale if scale else 0.0
+            elif tag == b"strh":
+                stream_idx += 1
+                if payload[b : b + 4] == b"vids" and vids is None:
+                    handler = payload[b + 4 : b + 8]
+                    scale, rate = struct.unpack_from("<II", payload, b + 20)
+                    vids = (stream_idx, handler, scale, rate)
             elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
-                samples.append(payload[b:e])
+                chunks.append((int(tag[:2]), payload[b:e]))
 
     walk(12, len(payload))
-    if fps is None:
+    if vids is None:
         raise ValueError("AVI has no vids stream header")
-    return {"fps": fps, "samples": samples}
+    idx, handler, scale, rate = vids
+    if handler not in (b"MJPG", b"mjpg", b"jpeg", b"\x00\x00\x00\x00"):
+        raise NotImplementedError(
+            f"AVI codec {handler!r} requires ffmpeg — only "
+            "Motion-JPEG streams decode here"
+        )
+    if not scale or not rate:
+        raise ValueError("AVI vids stream has zero timing (rate/scale)")
+    return {
+        "fps": rate / scale,
+        "samples": [s for no, s in chunks if no == idx],
+    }
 
 
 def decode_avi_frames(payload: bytes):
@@ -355,6 +435,8 @@ def decode_avi_frames(payload: bytes):
     from .jpeg import decode_jpeg
 
     track = demux_avi(payload)
+    if not track["samples"]:
+        raise ValueError("AVI vids stream has no samples")
     frames = [decode_jpeg(s) for s in track["samples"]]
     ts = [round(i * 1000 / track["fps"]) for i in range(len(frames))]
     return np.stack(frames), ts

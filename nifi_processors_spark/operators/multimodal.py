@@ -619,31 +619,22 @@ def sample_video_frames(
                     )
                     if is_mp4 or is_avi:
                         from .containers import (
-                            decode_avi_frames, decode_mp4_frames,
+                            demux_mjpeg_container, rgb_to_luma,
                         )
+                        from .jpeg import decode_jpeg
 
-                        frames, all_ts = (
-                            decode_mp4_frames(payload)
-                            if is_mp4
-                            else decode_avi_frames(payload)
-                        )
-                        luma = np.clip(
-                            np.round(
-                                0.299 * frames[..., 0]
-                                + 0.587 * frames[..., 1]
-                                + 0.114 * frames[..., 2]
-                            ),
-                            0,
-                            255,
-                        ).astype(np.uint8)
-                        step = (
-                            all_ts[1] - all_ts[0] if len(all_ts) > 1 else 1000
-                        )
+                        # demux (byte bookkeeping only), pick the
+                        # sampled indices from the timestamp table,
+                        # then JPEG-decode ONLY those samples — a
+                        # 1000-frame file sampled 4x costs 4 decodes
+                        track = demux_mjpeg_container(payload)
+                        all_ts = track["ts_ms"]
+                        wanted = []  # (ts, idx) in emit order
                         k = 0
                         while k < max_frames:
                             ts = k * every_ms
-                            if ts >= all_ts[-1] + step:
-                                break  # past end of stream
+                            if ts >= track["duration_ms"]:
+                                break  # past true end of stream
                             idx = max(
                                 0,
                                 int(
@@ -651,6 +642,15 @@ def sample_video_frames(
                                 )
                                 - 1,
                             )
+                            wanted.append((ts, idx))
+                            k += 1
+                        luma = {
+                            idx: rgb_to_luma(
+                                decode_jpeg(track["samples"][idx])
+                            )
+                            for idx in {i for _ts, i in wanted}
+                        }
+                        for ts, idx in wanted:
                             rows.append(
                                 {
                                     "media_id": mid,
@@ -660,7 +660,6 @@ def sample_video_frames(
                                     "error_reason": None,
                                 }
                             )
-                            k += 1
                         continue
                     if not fake:
                         raise NotImplementedError(
@@ -859,7 +858,9 @@ def media_stats(media: DataFrame) -> DataFrame:
                             y, _u, _v, _fps = decode_y4m(payload)
                         else:
                             from .containers import (
-                                decode_avi_frames, decode_mp4_frames,
+                                decode_avi_frames,
+                                decode_mp4_frames,
+                                rgb_to_luma,
                             )
 
                             frames, _ts = (
@@ -867,15 +868,7 @@ def media_stats(media: DataFrame) -> DataFrame:
                                 if payload[4:8] == b"ftyp"
                                 else decode_avi_frames(payload)
                             )
-                            y = np.clip(
-                                np.round(
-                                    0.299 * frames[..., 0]
-                                    + 0.587 * frames[..., 1]
-                                    + 0.114 * frames[..., 2]
-                                ),
-                                0,
-                                255,
-                            ).astype(np.uint8)
+                            y = rgb_to_luma(frames)
                         rec = {
                             "width": y.shape[2],
                             "height": y.shape[1],

@@ -858,3 +858,112 @@ def test_png_adam7_sub8_depths(depth):
     out = decode_png(_ref_png(g, depth, 0, interlace=1))
     scale = 255 // (ncol - 1)
     assert np.array_equal(out, np.repeat(g * scale, 3, axis=2))
+
+
+# ---------------------------------------------------------------------------
+# Container edge cases (round-5 review findings)
+# ---------------------------------------------------------------------------
+
+def test_avi_zero_scale_is_clean_boundary():
+    """A vids strh with dwScale=0 must be a descriptive ValueError,
+    not a ZeroDivisionError downstream."""
+    from nifi_processors_spark.operators.containers import (
+        decode_avi_frames, demux_avi, mux_avi_mjpeg,
+    )
+    from nifi_processors_spark.operators.jpeg import encode_jpeg
+
+    avi = bytearray(
+        mux_avi_mjpeg([encode_jpeg(f) for f in _mjpeg_frames(2)], 4, 32, 24)
+    )
+    b = avi.find(b"strh") + 8  # strh body: fccType fccHandler flags...
+    # dwScale sits 20 bytes into the body (after type/handler/flags/
+    # priority+language/initialframes)
+    avi[b + 20 : b + 24] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="zero timing"):
+        demux_avi(bytes(avi))
+    with pytest.raises(ValueError, match="zero timing"):
+        decode_avi_frames(bytes(avi))
+
+
+def test_avi_two_video_streams_first_wins():
+    """Chunks are filtered by stream number: a second vids stream's
+    frames must not interleave into the first stream's samples, and
+    its codec must not trip the boundary check."""
+    from nifi_processors_spark.operators.containers import (
+        _riff_chunk, _riff_list, demux_avi, mux_avi_mjpeg,
+    )
+    from nifi_processors_spark.operators.jpeg import encode_jpeg
+    import struct as _s
+
+    jpegs0 = [encode_jpeg(f, quality=90) for f in _mjpeg_frames(3, seed=1)]
+    jpegs1 = [encode_jpeg(f, quality=90) for f in _mjpeg_frames(3, seed=2)]
+
+    def strh(handler, fps):
+        return _riff_chunk(
+            b"strh",
+            b"vids" + handler
+            + _s.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, 3, 0,
+                      0xFFFFFFFF, 0)
+            + _s.pack("<4H", 0, 0, 32, 24),
+        )
+
+    avih = _riff_chunk(b"avih", b"\x00" * 56)
+    hdrl = _riff_list(
+        b"hdrl",
+        avih
+        + _riff_list(b"strl", strh(b"MJPG", 4))
+        + _riff_list(b"strl", strh(b"H264", 30)),  # 2nd stream ignored
+    )
+    movi_chunks = b"".join(
+        _riff_chunk(b"00dc", a) + _riff_chunk(b"01dc", b_)
+        for a, b_ in zip(jpegs0, jpegs1)
+    )
+    body = b"AVI " + hdrl + _riff_list(b"movi", movi_chunks)
+    avi = b"RIFF" + _s.pack("<I", len(body)) + body
+
+    track = demux_avi(avi)
+    assert track["fps"] == 4.0
+    assert track["samples"] == jpegs0  # stream 0 only, in order
+
+    # single-stream mux still round-trips (regression guard)
+    t = demux_avi(mux_avi_mjpeg(jpegs0, 4, 32, 24))
+    assert t["samples"] == jpegs0
+
+
+def test_empty_containers_are_clean_boundaries():
+    from nifi_processors_spark.operators.containers import (
+        decode_avi_frames, decode_mp4_frames, mux_avi_mjpeg, mux_mp4_mjpeg,
+    )
+
+    with pytest.raises(ValueError, match="no samples"):
+        decode_mp4_frames(mux_mp4_mjpeg([], 4, 8, 8))
+    with pytest.raises(ValueError, match="no samples"):
+        decode_avi_frames(mux_avi_mjpeg([], 4, 8, 8))
+
+
+def test_mp4_missing_mdhd_is_clean_boundary():
+    from nifi_processors_spark.operators.containers import demux_mp4, mux_mp4_mjpeg
+    from nifi_processors_spark.operators.jpeg import encode_jpeg
+
+    mp4 = bytearray(mux_mp4_mjpeg([encode_jpeg(_mjpeg_frames(1)[0])], 4, 32, 24))
+    i = mp4.find(b"mdhd")
+    mp4[i : i + 4] = b"free"  # hide the box
+    with pytest.raises(ValueError, match="missing mdhd"):
+        demux_mp4(bytes(mp4))
+
+
+def test_sampler_respects_true_container_duration(spark):
+    """A 1-frame 4 fps MP4 is 250 ms of video: sampling at 500 ms must
+    emit exactly ONE row (ts=0), like the equivalent y4m does — not a
+    phantom second row at ts=500."""
+    from nifi_processors_spark.operators.containers import mux_mp4_mjpeg
+    from nifi_processors_spark.operators.jpeg import encode_jpeg
+
+    mp4 = mux_mp4_mjpeg([encode_jpeg(_mjpeg_frames(1)[0], quality=90)], 4, 32, 24)
+    media = spark.createDataFrame(
+        [(1, "video", mp4, "video/mp4", 32, 24, 250)], MEDIA_SCHEMA
+    )
+    out = sample_video_frames(media, every_ms=500, max_frames=8).toPandas()
+    assert out.error_reason.isna().all()
+    assert list(out.frame_ts_ms) == [0]
+    assert list(out.frame_idx) == [0]
