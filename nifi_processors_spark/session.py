@@ -12,6 +12,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _ram_local_dir(min_free_bytes: int = 16 * 1024**3) -> str | None:
+    """RAM-backed scratch dir for shuffle/spill files, if the host has
+    one with head-room (round-6 measurement: the merge-apply exchange
+    drops ~30% wall when shuffle files live in tmpfs and skip lz4).
+
+    Parameterised (guide §2.3 "there is no universal answer — measure"):
+    ``SPARK_GRAFT_LOCAL_DIR`` overrides the choice outright (set it to
+    '' to keep Spark's default /tmp); on a cluster the cluster manager
+    provides local dirs and this helper is bypassed by spark-submit
+    conf. Falls back to None (Spark default) when /dev/shm is absent or
+    nearly full, so constrained hosts never OOM their tmpfs."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override is not None:
+        return override or None
+    base = "/dev/shm"
+    try:
+        st = os.statvfs(base)
+        if st.f_bavail * st.f_frsize < min_free_bytes:
+            return None
+    except OSError:
+        return None
+    path = os.path.join(base, f"spark-local-{os.getuid()}")
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return None
+    return path
+
+
 def get_spark(
     app_name: str = "nifi_processors_spark",
     cores: int | None = None,
@@ -45,6 +74,26 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    # Shuffle locality + compression (round-6, guide §2.3/§9): local
+    # mode moves shuffle blocks through the filesystem, not a NIC — on
+    # a tmpfs scratch dir the lz4 encode/decode is the only remaining
+    # cost, and dropping it is a measured ~30% win on the merge-apply
+    # exchange (8M-row payload shuffle: 10.0s → 6.6s). Both knobs stay
+    # coupled and parameterised: compression turns off ONLY when the
+    # shuffle dir is RAM-backed (SPARK_GRAFT_SHUFFLE_COMPRESS
+    # overrides); cluster deployments get their local dirs from the
+    # cluster manager and keep compressed shuffles — network bytes are
+    # the scarce resource there, the opposite trade.
+    local_dir = _ram_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    compress = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_COMPRESS",
+        "false" if local_dir and local_dir.startswith("/dev/shm") else "true",
+    )
+    builder = builder.config("spark.shuffle.compress", compress).config(
+        "spark.shuffle.spill.compress", compress
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
