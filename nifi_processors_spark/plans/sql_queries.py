@@ -514,6 +514,79 @@ FROM (
 WHERE s IS NOT NULL
 """
 
+#: SPARK-SIDE execution variant of MH_E_TPL (round-6 optimization;
+#: the ORACLE still renders from MH_E_TPL, unchanged). The template's
+#: global `SELECT DISTINCT doc_id, h` dedups shingles per document by
+#: shuffling every exploded shingle row (~200× the doc count) through
+#: an exchange. But a document's shingles all live in ONE array before
+#: the explode, and corpus doc_ids are unique by construction (base
+#: PK; injected copies are offset), so per-row `array_distinct` over
+#: the HASHED shingle array yields exactly the same (doc_id, h) set
+#: with zero exchange (guide §2.4 "remove shuffles outright": a
+#: distinct on data that is already locally dedupable). The
+#: REPARTITION hint stays — the driver's tables are single-row-group
+#: parquet, so without it the whole shingle+md5 stage would run in
+#: the one-task scan stage.
+MH_EARR_SPARK_TPL = """
+SELECT doc_id,
+       filter(array_distinct(transform(sh,
+         s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))),
+         h -> h IS NOT NULL) AS harr
+FROM (
+  SELECT /*+ REPARTITION */ doc_id, @SHINGLES3(w)@ AS sh
+  FROM (SELECT doc_id, @SPLITSP(text)@ AS w FROM ({corpus}) corpus) toks
+  WHERE @LEN(w)@ >= 3
+) shl
+"""
+# NOTE: no `WHERE size(sh) > 0` above — it is implied by LEN(w) >= 3
+# (size(sh) = size(w) - 2 >= 1), and a filter referencing the computed
+# array gets pushed below the projection with the whole shingle
+# transform INLINED, re-deriving it per row on the filter path
+# (measured 25× on this stage — the same class of trap the EXPLODEO
+# dialect note documents). Every doc therefore has a non-empty harr,
+# matching the oracle's "docs with >= 1 shingle row" set exactly.
+
+#: candidate verification over arrays: `size(array_intersect(a, b))`
+#: computes each pair's exact shingle intersection in-row, replacing
+#: the oracle's double equi-join against the exploded shingle table
+#: (which multiplies every candidate pair by its shingle count before
+#: aggregating it back down). The sizes come from the arrays too, so
+#: the two sig joins disappear as well. Bands/cap/cand are identical
+#: to the oracle fragment.
+MH_REST_SPARK_TPL = """
+WITH bands_raw AS (
+  SELECT doc_id, 'b0|' || m0 || '_' || m1 AS bk FROM {sig}
+  UNION ALL
+  SELECT doc_id, 'b1|' || m2 || '_' || m3 FROM {sig}
+  UNION ALL
+  SELECT doc_id, 'b2|' || m4 || '_' || m5 FROM {sig}
+),
+bands AS (
+  SELECT doc_id, bk FROM (
+    SELECT doc_id, bk,
+           row_number() OVER (PARTITION BY bk ORDER BY doc_id) AS rk
+    FROM bands_raw
+  ) t WHERE rk <= {cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b,
+         cast(size(array_intersect(ea.harr, eb.harr)) AS bigint) AS ni,
+         cast(size(ea.harr) AS bigint) AS na,
+         cast(size(eb.harr) AS bigint) AS nb
+  FROM cand c
+  JOIN {earr} ea ON ea.doc_id = c.doc_a
+  JOIN {earr} eb ON eb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(cast(ni AS double) / (na + nb - ni), 4) AS jaccard
+FROM inter
+WHERE cast(ni AS double) / (na + nb - ni) >= 0.5
+"""
+
 #: the 6 minhash functions are UNIVERSAL hashes (a_k*h + b_k mod p,
 #: Mersenne prime p=2^31-1) over the base shingle id — pure bigint
 #: arithmetic instead of six md5 calls per shingle (md5 was ~all the
@@ -528,6 +601,19 @@ MH_SIG_TPL = "SELECT doc_id,\n" + ",\n".join(
 ) + """,
        count(*) AS n
 FROM {e} GROUP BY doc_id
+"""
+
+#: per-row signature over the hash array (spark-side twin of
+#: MH_SIG_TPL, used with MH_EARR_SPARK_TPL): min of each universal
+#: hash over the document's distinct shingle ids — identical values to
+#: the oracle's `min(...) GROUP BY doc_id` over exploded rows, with
+#: ZERO exchange (the group IS the row). `size(harr)` ≡ count(*).
+MH_SIG_SPARK_TPL = "SELECT doc_id,\n" + ",\n".join(
+    f"       array_min(transform(harr, h -> ({a} * h + {b}) % 2147483647)) AS m{k}"
+    for k, (a, b) in enumerate(zip(_MH_A, _MH_B))
+) + """,
+       size(harr) AS n
+FROM {earr}
 """
 
 #: Hot-bucket guard: band membership is capped at {cap} docs
@@ -600,19 +686,25 @@ def _minhash_oracle(corpus: str, cap: int) -> str:
 
 def _make_minhash_spark(corpus: str, cap: int, tag: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Same fragments as the oracle, staged: the shingle set (e)
-        and signatures (sig) are computed once and cached instead of
-        being recomputed per CTE reference. Pins release on the next
-        staged query (or via release_caches)."""
+        """Round-6 spark-side plan (ORACLE unchanged — it still renders
+        the exploded-row fragments): one array of distinct shingle ids
+        per document end-to-end. The per-doc hash array (earr) is
+        computed in the scan stage and cached; signatures are per-row
+        array_min (no exchange), and candidate verification is
+        size(array_intersect(...)) per pair instead of the double
+        equi-join against exploded shingle rows. Pins release on the
+        next staged query (or via release_caches)."""
         release_caches()
         load_tables(spark, sf_dir, ["documents"])
-        e = spark.sql(render(MH_E_TPL.format(corpus=corpus), "spark"))
-        _pin(e).createOrReplaceTempView(f"mh_e_{tag}")
-        sig = spark.sql(render(MH_SIG_TPL.format(e=f"mh_e_{tag}"), "spark"))
+        earr = spark.sql(render(MH_EARR_SPARK_TPL.format(corpus=corpus), "spark"))
+        _pin(earr).createOrReplaceTempView(f"mh_earr_{tag}")
+        sig = spark.sql(render(MH_SIG_SPARK_TPL.format(earr=f"mh_earr_{tag}"), "spark"))
         _pin(sig).createOrReplaceTempView(f"mh_sig_{tag}")
         return spark.sql(
             render(
-                MH_REST_TPL.format(e=f"mh_e_{tag}", sig=f"mh_sig_{tag}", cap=cap),
+                MH_REST_SPARK_TPL.format(
+                    earr=f"mh_earr_{tag}", sig=f"mh_sig_{tag}", cap=cap
+                ),
                 "spark",
             )
         )
@@ -750,6 +842,31 @@ tok AS (
   FROM (SELECT doc_id, @EXPLODE(@SPLITSP(text)@)@ AS t FROM corpus) x
 ),
 h AS (SELECT doc_id, @MD5INT(t)@ AS hv FROM tok)
+SELECT doc_id,
+       cast({_SIMHASH_BIT_VOTES} AS bigint) AS simhash
+FROM h GROUP BY doc_id
+"""
+
+#: SPARK-SIDE execution variant of DOC_SIMHASH_TPL (round 6; the
+#: oracle renders from the original). Two plan changes, same rows:
+#: (1) the global DISTINCT (doc_id, token) — one exchange carrying
+#: every exploded token — becomes per-row `array_distinct` over the
+#: token array (doc_ids are unique in the declared corpora, so
+#: per-document dedup IS the global dedup); (2) a REPARTITION fans the
+#: explode + md5 work out of the single-task scan stage the driver's
+#: one-row-group parquet files force. The bit-vote aggregation is
+#: unchanged — its sums are plain longs, so the groupBy gets hash
+#: partial aggregation and the remaining exchange carries one row per
+#: (doc, map-partition), not one per token.
+DOC_SIMHASH_SPARK_TPL = f"""
+WITH corpus AS (SELECT /*+ REPARTITION */ * FROM ({{corpus}}) c),
+h AS (
+  SELECT doc_id, @MD5INT(t)@ AS hv
+  FROM (SELECT doc_id,
+               @EXPLODEO(array_distinct(@SPLITSP(text)@))@ AS t
+        FROM corpus) x
+  WHERE t IS NOT NULL
+)
 SELECT doc_id,
        cast({_SIMHASH_BIT_VOTES} AS bigint) AS simhash
 FROM h GROUP BY doc_id
@@ -1226,6 +1343,47 @@ QUERIES = {
     name: (_make_spark_fn(tpl, tables), render(tpl, "duckdb"))
     for name, (tpl, tables) in _TEMPLATED.items()
 }
+#: round-6 spark-side plan overrides (ORACLES unchanged — each still
+#: renders from the original two-dialect template; only the Spark
+#: physical plan differs, and each override is row-identical by the
+#: sf0.01/sf0.1 oracle gates):
+#:  * doc_token_stats — the driver's single-row-group parquet makes
+#:    the scan one task, and this query's whole cost is per-row regex
+#:    evaluation fused into that scan: fan out first (1.16s → 0.64s
+#:    at sf1 scale).
+#:  * doc_simhash (+ the neardup composition) — per-row array_distinct
+#:    replaces the all-tokens DISTINCT exchange and a REPARTITION
+#:    unsticks the one-task explode (1.73s → 0.48s at sf1 scale).
+QUERIES["doc_token_stats"] = (
+    _make_spark_fn(
+        DOC_TOKEN_STATS_TPL.replace(
+            "FROM documents",
+            "FROM (SELECT /*+ REPARTITION */ * FROM documents) documents",
+        ),
+        ["documents"],
+    ),
+    render(DOC_TOKEN_STATS_TPL, "duckdb"),
+)
+QUERIES["doc_simhash"] = (
+    _make_spark_fn(
+        DOC_SIMHASH_SPARK_TPL.format(corpus=_DOC_CORPUS), ["documents"]
+    ),
+    render(DOC_SIMHASH_TPL.format(corpus=_DOC_CORPUS), "duckdb"),
+)
+QUERIES["doc_simhash_neardup"] = (
+    _make_spark_fn(
+        DOC_SIMHASH_PAIRS_TPL.format(
+            simhash_q=DOC_SIMHASH_SPARK_TPL.format(corpus=_DOC_CORPUS)
+        ),
+        ["documents"],
+    ),
+    render(
+        DOC_SIMHASH_PAIRS_TPL.format(
+            simhash_q=DOC_SIMHASH_TPL.format(corpus=_DOC_CORPUS)
+        ),
+        "duckdb",
+    ),
+)
 #: round-6 OPTIMIZATION: the declared exact-cosine baseline now
 #: EXECUTES through the matmul-blocked mapInPandas scale path — the
 #: per-pair `aggregate(zip_with(...))` dot product of the SQL plan is
