@@ -230,6 +230,18 @@ def demux_mp4(payload: bytes) -> dict:
         for i, (first, spc) in enumerate(runs):
             last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(offsets)
             spc_per_chunk.extend([spc] * (last - first + 1))
+        # demux contract: malformed sample tables raise DESCRIPTIVE
+        # ValueError (which R2-quarantines), never an opaque IndexError
+        # from the loops below (round-5 ADVICE)
+        if n_samp > 0 and not deltas:
+            raise ValueError(
+                f"MP4 stts has no entries but stsz declares {n_samp} samples"
+            )
+        if len(spc_per_chunk) < len(offsets):
+            raise ValueError(
+                f"MP4 stsc runs cover {len(spc_per_chunk)} chunks but "
+                f"stco lists {len(offsets)}"
+            )
         samples = []
         t = 0
         si = 0
@@ -293,12 +305,20 @@ def demux_mjpeg_container(payload: bytes) -> dict:
     if payload[4:8] == b"ftyp":
         track = demux_mp4(payload)
         _require_mjpeg_fourcc(track["fourcc"])
+        if not track["samples"]:
+            # the zero-samples contract: raise so the frame sampler's
+            # except branch emits a quarantined error row, matching
+            # decode_mp4_frames (round-5 ADVICE — a structurally valid
+            # container with no samples silently yielded zero rows)
+            raise ValueError("MP4 video track has no samples")
         return {
             "samples": [s for _ts, s in track["samples"]],
             "ts_ms": [ts for ts, _s in track["samples"]],
             "duration_ms": track["duration_ms"],
         }
     track = demux_avi(payload)
+    if not track["samples"]:
+        raise ValueError("AVI vids stream has no samples")
     n = len(track["samples"])
     fps = track["fps"]
     return {
@@ -369,6 +389,13 @@ def mux_avi_mjpeg(
 
 # ---------------------------------------------------------------- AVI demux
 
+_HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
+
+
+def _is_hex2(b2: bytes) -> bool:
+    return len(b2) == 2 and all(c in _HEX_DIGITS for c in b2)
+
+
 def _walk_riff(buf: bytes, start: int, end: int):
     """Yield (tag, list_type_or_None, body_start, body_end)."""
     pos = start
@@ -410,8 +437,11 @@ def demux_avi(payload: bytes) -> dict:
                     handler = payload[b + 4 : b + 8]
                     scale, rate = struct.unpack_from("<II", payload, b + 20)
                     vids = (stream_idx, handler, scale, rate)
-            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
-                chunks.append((int(tag[:2]), payload[b:e]))
+            elif tag[2:4] in (b"dc", b"db") and _is_hex2(tag[:2]):
+                # stream numbers are TWO ASCII HEX digits per the RIFF
+                # AVI spec — decimal-only parsing dropped streams ≥ 10
+                # ('0A'dc etc., round-5 ADVICE)
+                chunks.append((int(tag[:2], 16), payload[b:e]))
 
     walk(12, len(payload))
     if vids is None:

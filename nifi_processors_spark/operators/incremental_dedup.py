@@ -114,11 +114,15 @@ class MinHashLshIndex:
         self.docs = TransactionalTable(spark, os.path.join(path, "docs"))
         self._pins: list[DataFrame] = []      # per-ingest intermediates
         self._result_pins: list[DataFrame] = []  # returned pair DataFrames
-        # FIXED per-instance view tag: createOrReplaceTempView then
-        # overwrites in place each batch instead of leaking two
-        # uuid-named catalog entries per micro-batch for the stream's
-        # lifetime (unique across concurrently-open indexes)
+        # per-instance view tag; ingest suffixes it PER BATCH (round-5
+        # ADVICE: reusing one view name meant a returned pairs
+        # DataFrame whose cache was evicted could in principle
+        # recompute against a view re-pointed at a LATER batch — each
+        # batch's views are now immutable once created). Stale batch
+        # views are dropped on the next ingest's _release, so the
+        # catalog holds at most one batch's views per index.
         self._tag = f"mh_inc_{uuid.uuid4().hex[:8]}"
+        self._views: list[tuple[SparkSession, str]] = []
 
     # ------------------------------------------------------------- DDL
 
@@ -162,13 +166,19 @@ class MinHashLshIndex:
                 df.unpersist()
             except Exception:
                 pass
+        while self._views:
+            sess, name = self._views.pop()
+            try:
+                sess.catalog.dropTempView(name)
+            except Exception:
+                pass
 
     def _pin(self, df: DataFrame) -> DataFrame:
         df.persist()
         self._pins.append(df)
         return df
 
-    def _signatures(self, docs: DataFrame):
+    def _signatures(self, docs: DataFrame, batch_id: int):
         """(e, sig) for the arriving batch — the SAME two-dialect
         fragments the batch operators execute (MH_E_TPL / MH_SIG_TPL),
         so incremental and batch signatures cannot drift."""
@@ -182,8 +192,11 @@ class MinHashLshIndex:
         # the driver session's — resolve views through the batch's own
         # session or the SQL below can't see them
         sess = docs.sparkSession
-        tag = self._tag
+        # per-BATCH view names (never overwritten; see __init__ note) —
+        # stale ones are dropped by the next ingest's _release
+        tag = f"{self._tag}_b{batch_id}"
         docs.createOrReplaceTempView(tag)
+        self._views.append((sess, tag))
         e = sess.sql(
             render(
                 MH_E_TPL.format(corpus=f"SELECT doc_id, text FROM {tag}"),
@@ -191,6 +204,7 @@ class MinHashLshIndex:
             )
         )
         self._pin(e).createOrReplaceTempView(f"{tag}_e")
+        self._views.append((sess, f"{tag}_e"))
         sig = self._pin(
             sess.sql(render(MH_SIG_TPL.format(e=f"{tag}_e"), "spark"))
         )
@@ -234,7 +248,7 @@ class MinHashLshIndex:
         """
         self._release()
         b = int(batch_id)
-        e, sig = self._signatures(docs)
+        e, sig = self._signatures(docs, b)
         bands_raw = self._band_keys(sig)
 
         # --- pre-batch index snapshot, pruned to the batch's buckets.

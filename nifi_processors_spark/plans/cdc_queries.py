@@ -82,8 +82,17 @@ def _final_projection(df: DataFrame) -> DataFrame:
 
 def cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator §2.6: LWW dedup window — the final table state is, per
-    (conv_id, turn_idx), the max-(ts, seq) event; delete winners drop."""
-    winners = lww_dedup(_ce(spark, sf_dir))
+    (conv_id, turn_idx), the max-(ts, seq) event; delete winners drop.
+
+    Round 6: exchange on the key FIRST, then aggregate. The driver's
+    events parquet is one row group, so a direct groupBy plans its
+    partial sort-aggregate into the single-task scan stage (max_by is
+    a struct-buffer aggregate → SortAggregate, and the sort of the
+    whole stream ran on one core); repartitioning by the group key
+    moves the sort behind a parallel exchange and the aggregate keeps
+    its clustered distribution with no second shuffle (2.8s → 1.7s at
+    sf1 scale). Same rows — the oracle is unchanged."""
+    winners = lww_dedup(_ce(spark, sf_dir).repartition("conv_id", "turn_idx"))
     return _final_projection(winners.filter(F.col("op") != "D"))
 
 
