@@ -338,18 +338,29 @@ class CdcPipeline:
                 retries=cfg.commit_retries,
                 backoff_ms=cfg.commit_retry_backoff_ms,
             )
-            # DLQ retention (round-3 VERDICT #8): every 64th DLQ commit
-            # folds its sliver files into one and expires old
-            # snapshots, so a poison-heavy stream keeps a BOUNDED
-            # file/manifest count instead of one file per bad batch.
-            # expire's grace window keeps this safe next to the main
-            # table's concurrent commits; failure here must never fail
-            # the (already committed) batch.
+            # DLQ retention (round-3 VERDICT #8): periodically fold the
+            # DLQ's sliver files and expire old snapshots, so a
+            # poison-heavy stream keeps a BOUNDED file/manifest count
+            # instead of one file per bad batch. Round 6: the cadence
+            # and retention now follow the SAME config knobs as the
+            # main table's pass below (round-5 endurance ended with 68
+            # DLQ manifests vs 11 main because the DLQ's hard-coded
+            # every-64th/keep-8 left a much higher steady state —
+            # steady-state manifests ∈ [keep_last, keep_last+cadence],
+            # so sharing knobs bounds the DLQ within ~2× of the main
+            # table). A disabled main cadence (0) keeps the legacy
+            # every-64th floor: DLQ growth must stay bounded
+            # regardless. expire's grace window keeps this safe next
+            # to the main table's concurrent commits; failure here
+            # must never fail the (already committed) batch.
             ver = dlq_res.get("version")
-            if ver and ver % 64 == 0:
+            dlq_every = cfg.maintenance_every_n_batches or 64
+            if ver and ver % dlq_every == 0:
                 try:
                     self.dead_letter.compact()
-                    self.dead_letter.expire_snapshots(keep_last=8)
+                    self.dead_letter.expire_snapshots(
+                        keep_last=cfg.maintenance_keep_last
+                    )
                 except Exception:
                     # advisory on the hot path — but a persistently
                     # failing maintenance pass means unbounded DLQ

@@ -318,19 +318,33 @@ class TransactionalTable:
         return F.pmod(F.xxhash64(*exprs), F.lit(n_buckets)).cast("int")
 
     @staticmethod
-    def _file_key_stats(abs_path: str, key_col: str):
+    def _read_footer(abs_path: str):
+        """One footer read shared by the per-file stat helpers in the
+        commit loops (they each accept it as ``md``); None on failure —
+        each helper then degrades to its own unavailable-stats path."""
+        try:
+            import pyarrow.parquet as _pq
+
+            return _pq.read_metadata(abs_path)
+        except Exception:
+            return None
+
+    @staticmethod
+    def _file_key_stats(abs_path: str, key_col: str, md=None):
         """(min, max) of ``key_col`` from the file's parquet footer
         statistics — driver-side, a few ms, no Spark job. Returns
         (None, None) when stats are unavailable (never prune then).
         At cluster scale these stats would be collected executor-side
         during the write (as Iceberg does); the manifest format is the
-        same either way."""
+        same either way. ``md``: a pre-read FileMetaData, so commit
+        loops reading several stats per file open the footer once."""
         try:
             import pyarrow.parquet as _pq
 
             # read_metadata opens and closes the file per call —
             # ParquetFile would leave the handle to GC
-            md = _pq.read_metadata(abs_path)
+            if md is None:
+                md = _pq.read_metadata(abs_path)
             idx = {
                 md.schema.column(i).name: i for i in range(md.num_columns)
             }.get(key_col)
@@ -363,7 +377,7 @@ class TransactionalTable:
             return None, None
 
     @staticmethod
-    def _file_tombstone_flag(abs_path: str) -> bool | None:
+    def _file_tombstone_flag(abs_path: str, md=None) -> bool | None:
         """Whether the file holds any delete tombstone, from the
         parquet footer's ``_deleted`` column statistics (driver-side,
         no job — same pattern as ``_file_key_stats``). False only when
@@ -378,7 +392,8 @@ class TransactionalTable:
         try:
             import pyarrow.parquet as _pq
 
-            md = _pq.read_metadata(abs_path)
+            if md is None:
+                md = _pq.read_metadata(abs_path)
             idx = {
                 md.schema.column(i).name: i for i in range(md.num_columns)
             }.get("_deleted")
@@ -939,13 +954,14 @@ class TransactionalTable:
                     abs_p = os.path.join(root, fn)
                     rel = os.path.relpath(abs_p, self.path)
                     bucket = int(root.rsplit("_bucket=", 1)[1])
-                    kmin, kmax = self._file_key_stats(abs_p, key0)
+                    md = self._read_footer(abs_p)
+                    kmin, kmax = self._file_key_stats(abs_p, key0, md=md)
                     entry = {"path": rel, "bucket": bucket}
                     if kmin is not None:
                         entry["min_key"], entry["max_key"] = kmin, kmax
                     if strategy == "merge-on-read":
                         entry["delta"] = True
-                    tflag = self._file_tombstone_flag(abs_p)
+                    tflag = self._file_tombstone_flag(abs_p, md=md)
                     if tflag is not None:
                         entry["tombstones"] = tflag
                     new_files.append(entry)
@@ -1195,7 +1211,10 @@ class TransactionalTable:
                 if fn.endswith(".parquet"):
                     abs_p = os.path.join(root, fn)
                     rel = os.path.relpath(abs_p, self.path)
-                    kmin, kmax = self._file_key_stats(abs_p, m["key_cols"][0])
+                    md = self._read_footer(abs_p)
+                    kmin, kmax = self._file_key_stats(
+                        abs_p, m["key_cols"][0], md=md
+                    )
                     entry = {"path": rel, "bucket": int(root.rsplit("_bucket=", 1)[1])}
                     if kmin is not None:
                         entry["min_key"], entry["max_key"] = kmin, kmax
@@ -1203,7 +1222,7 @@ class TransactionalTable:
                     # otherwise read the footer like the merge path does
                     tflag = (
                         False if drop_tombstones
-                        else self._file_tombstone_flag(abs_p)
+                        else self._file_tombstone_flag(abs_p, md=md)
                     )
                     if tflag is not None:
                         entry["tombstones"] = tflag
@@ -1403,7 +1422,8 @@ class TransactionalTable:
             for fn in files:
                 if fn.endswith(".parquet"):
                     abs_p = os.path.join(root, fn)
-                    kmin, kmax = self._file_key_stats(abs_p, key_cols[0])
+                    md = self._read_footer(abs_p)
+                    kmin, kmax = self._file_key_stats(abs_p, key_cols[0], md=md)
                     entry = {
                         "path": os.path.relpath(abs_p, self.path),
                         "bucket": int(root.rsplit("_bucket=", 1)[1]),
@@ -1413,7 +1433,7 @@ class TransactionalTable:
                     # migration keeps tombstones (LWW-resolved above
                     # for MOR sources) — record their presence so a
                     # later drop_tombstones compact prunes correctly
-                    tflag = self._file_tombstone_flag(abs_p)
+                    tflag = self._file_tombstone_flag(abs_p, md=md)
                     if tflag is not None:
                         entry["tombstones"] = tflag
                     new_files.append(entry)

@@ -15,8 +15,12 @@ import hashlib
 import os
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
+from nifi_processors_spark.config import EngineConfig
 from nifi_processors_spark.schema import KEY_COLS, LWW_COLS, TRANSCRIPTS_SCHEMA
+from nifi_processors_spark.streaming.pipeline import CdcPipeline
 from nifi_processors_spark.table import TransactionalTable
 
 
@@ -115,6 +119,76 @@ def test_compact_still_folds_deltas_without_tombstones(spark, tmp_table_path):
     assert not any(f.get("delta") for f in m["files"])
     got = t.read().collect()
     assert len(got) == 1 and got[0]["text"] == "v2"
+
+
+_PA_EVENT_SCHEMA = pa.schema(
+    [
+        ("op", pa.string()), ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("role", pa.string()), ("text", pa.string()), ("tool", pa.string()),
+        ("ts", pa.timestamp("us")), ("seq", pa.int64()), ("shard", pa.int32()),
+        ("arrival_ts", pa.timestamp("us")),
+    ]
+)
+
+
+def test_dlq_maintenance_follows_configured_cadence(spark, tmp_path):
+    """Round-5 VERDICT #5 (DLQ maintenance floor): the DLQ retention
+    pass runs on the SAME config cadence/retention as the main table,
+    so a poison-heavy stream's DLQ manifest count stays within one
+    maintenance period of keep_last — not the old hard-coded
+    every-64th-commit floor (which never fired for streams shorter
+    than 64 poison batches and left a much higher steady state)."""
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    n_seg = 14
+    for i in range(n_seg):
+        pdf = pd.DataFrame(
+            {
+                "op": ["I"],
+                "conv_id": [f"conv-{i}"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": [None],  # null text on insert → DLQ
+                "tool": [None],
+                "ts": pd.to_datetime(["2030-01-01"]).astype("datetime64[us]"),
+                "seq": pd.array([i], dtype="int64"),
+                "shard": pd.array([0], dtype="int32"),
+                "arrival_ts": pd.to_datetime(["2030-01-01"]).astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf, schema=_PA_EVENT_SCHEMA, preserve_index=False
+            ),
+            os.path.join(binlog, f"seg-{1000000000 + i}-shard000.parquet"),
+        )
+    cfg = EngineConfig(
+        binlog_dir=binlog,
+        table_path=str(tmp_path / "table"),
+        dead_letter_path=str(tmp_path / "dlq"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+        max_files_per_trigger=1,  # one poison segment per micro-batch
+        maintenance_every_n_batches=4,
+        maintenance_keep_last=4,
+    )
+    p = CdcPipeline(spark, cfg)
+    p.run_once()
+    assert p.dead_letter.read().count() == n_seg
+    dlq_manifests = len(
+        [
+            f
+            for f in os.listdir(os.path.join(str(tmp_path / "dlq"), "_log"))
+            if f.startswith("v") and f.endswith(".json")
+        ]
+    )
+    # steady state ∈ [keep_last, keep_last + cadence] (+compaction
+    # commits between passes); the pre-fix floor would be n_seg + 1
+    assert dlq_manifests <= cfg.maintenance_keep_last + cfg.maintenance_every_n_batches + 2, (
+        dlq_manifests
+    )
 
 
 def test_migrate_mor_with_uncompacted_deltas_lww_resolves(spark, tmp_table_path):
