@@ -1354,6 +1354,33 @@ QUERIES = {
 #:  * doc_simhash (+ the neardup composition) — per-row array_distinct
 #:    replaces the all-tokens DISTINCT exchange and a REPARTITION
 #:    unsticks the one-task explode (1.73s → 0.48s at sf1 scale).
+#: doc_winnow_fingerprint spark-side variant. NOTE the declared
+#: semantics, preserved exactly: @IDIV(p - 1; 16)@ renders as
+#: `(p - 1 div 16)` in BOTH dialects, and div/# // bind tighter than
+#: minus, so the "window" id is just `p` — each position is its own
+#: window and fp = h. Both engines have computed it that way since the
+#: template landed (the oracle is frozen on it), so the spark side
+#: reduces to per-row distinct/min/max over the position-hash array:
+#: no explode, no exchange (5.3s → 2.6s at sf0.1). The intended
+#: 16-position winnowing is a round-7 template fix, not an
+#: optimization-round change.
+DOC_WINNOW_SPARK_TPL = """
+SELECT doc_id,
+       cast(size(array_distinct(hs)) AS bigint) AS n_fp,
+       array_min(hs) AS min_fp,
+       array_max(hs) AS max_fp
+FROM (
+  SELECT /*+ REPARTITION */ doc_id,
+         transform(sequence(1, length(text) - 7),
+                   p -> cast(conv(substring(md5(substring(text, p, 8)),1,8),16,10) as bigint)) AS hs
+  FROM (SELECT doc_id, lower(trim(text)) AS text FROM documents
+        WHERE length(lower(trim(text))) >= 8) t
+) h
+"""
+QUERIES["doc_winnow_fingerprint"] = (
+    _make_spark_fn(DOC_WINNOW_SPARK_TPL, ["documents"]),
+    render(DOC_WINNOW_TPL, "duckdb"),
+)
 QUERIES["doc_token_stats"] = (
     _make_spark_fn(
         DOC_TOKEN_STATS_TPL.replace(
